@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+Mirrors the knobs of the reference CLI surface (tokenizer/filter combos at
+reference tools/app.cpp:77-78, scorer defaults at
+include/pisa/scorer/scorer.hpp:14-22, WAND block size at
+include/pisa/wand_utils.hpp:10-20) plus the Spark-scale knobs the reference
+does not need (doc-shard span, shuffle parallelism).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # --- text analysis (reference: TextAnalyzer = filters -> tokenizer -> token filters)
+    tokenizer: str = "english"  # "english" | "whitespace"
+    strip_html: bool = True
+    lowercase: bool = True
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    stemmer: str | None = None  # None | "porter2" (gated on a stemmer lib)
+
+    # --- scoring (reference scorer.hpp:14-22 defaults)
+    scorer: str = "bm25"
+    bm25_k1: float = 0.9
+    bm25_b: float = 0.4
+    qld_mu: float = 1000.0
+    pl2_c: float = 1.0
+
+    # --- physical layout
+    # Codec block: postings per compressed block (reference block codecs use
+    # 128, codec/block_codecs.hpp); we also keep one block-max entry per
+    # block (reference benchmark uses 64-posting WAND blocks — configurable).
+    block_size: int = 128
+    codec: str = "varint"  # "varint" | "ef"
+
+    # Doc-shard span: the docID space is partitioned into ranges of this many
+    # docs; each (shard, term) posting run is therefore bounded by shard_span
+    # postings. This is the skew bound: a stopword with df == N still never
+    # creates a build group larger than shard_span. At cluster scale use
+    # ~1-4M; small for local tests.
+    shard_span: int = 1 << 20
+
+    # Terms with df above this fraction of num_docs get flagged heavy
+    # (metrics + optional stopword-drop, reference wand_data.hpp:44).
+    heavy_df_ratio: float = 0.25
+
+    def scorer_params(self) -> dict[str, float]:
+        return {
+            "k1": self.bm25_k1,
+            "b": self.bm25_b,
+            "mu": self.qld_mu,
+            "c": self.pl2_c,
+        }
+
+
+DEFAULT_CONFIG = IndexConfig()
