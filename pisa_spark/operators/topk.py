@@ -1,0 +1,366 @@
+"""Top-k query executors: exhaustive (ranked_or), MaxScore, Block-Max-WAND.
+
+Dataflow (all algorithms share it):
+
+    queries --analyze--> (qid, term, weight)
+            --join lexicon-->  (qid, term_id, weight, df, cf, max_*)
+            --join postings--> one row per (qid, shard, term) posting run
+            --join shards-->   + per-shard doc-length array
+            --groupBy(qid, shard_id).applyInPandas(kernel)
+            --window top-k-->  (qid, doc_id, score, rank)
+
+The per-shard kernel + global merge mirrors the reference's range_query
+(include/pisa/range_query.hpp:8-37): per-docID-range top-k, then a final
+k-merge — which is exactly Spark's partial/final TakeOrderedAndProject
+shape, here expressed as a row_number window per qid.
+
+Kernels are numpy-vectorized adaptations of the reference traversal
+algorithms (cursor loops don't vectorize; doc-range batching does):
+
+- exhaustive: score every doc in the union (ranked_or_query.hpp:16-56);
+  float32 canonical accumulation -> the rank-identity oracle.
+- maxscore  (maxscore_query.hpp:14-147): per doc-range, split lists into
+  essential/non-essential by the suffix-upper-bound rule against the
+  running threshold; candidates come only from essential lists;
+  non-essential lists are probed by searchsorted lookup with bound
+  re-filtering in descending-max-score order.
+- block_max_wand (block_max_wand_query.hpp:10-169): per doc-range, skip
+  the whole range when the sum of per-term block maxima is below the
+  threshold; then filter candidates by their per-doc sum of block maxima
+  before any scoring (the deep skip + partial-break of the reference,
+  batched).
+
+Safety: all pruning uses strict `bound < theta` skips and survivors are
+re-scored in canonical term order, so every algorithm returns exactly the
+exhaustive top-k including ties (ties broken score desc, doc asc — the
+reference's finalize() sorts by score only, topk_queue.hpp:73-83, so we pin
+the doc-asc rule as documented in SURVEY §7).
+
+Threshold seeding (reference topk_queue.hpp:23-31, tools/queries.cpp): pass
+`thresholds={qid: theta0}` to start kernels above zero; with an exact k-th
+score this stays rank-safe (ties kept); overestimates prune like the
+reference's unsafe mode.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+from pisa_spark.config import IndexConfig
+from pisa_spark.functions.scoring import make_scorer
+from pisa_spark.functions.tokenize import analyze_query_terms
+from pisa_spark.operators import codecs
+
+F32 = np.float32
+
+TOPK_PARTIAL_SCHEMA = "qid string, doc_id long, score float"
+
+ALGORITHMS = ("ranked_or", "maxscore", "block_max_wand")
+
+
+class _TermRun:
+    """One (shard, term) posting run: lazy block decoding + bounds."""
+
+    __slots__ = ("term_id", "n", "base_doc", "last_doc", "blk_last",
+                 "doc_offs", "tf_offs", "blk_ub", "ub", "docs_bin", "tfs_bin",
+                 "df", "cf", "idf", "weight", "_docs", "_tfs", "codec")
+
+    def __init__(self, row, scorer, stats, weight: float, weighted: bool,
+                 codec: str):
+        self.term_id = int(row.term_id)
+        self.n = int(row.n)
+        self.base_doc = int(row.base_doc)
+        self.last_doc = int(row.last_doc)
+        self.blk_last = np.asarray(row.block_last_docs, dtype=np.int64)
+        self.doc_offs = np.asarray(row.block_doc_offs, dtype=np.int64)
+        self.tf_offs = np.asarray(row.block_tf_offs, dtype=np.int64)
+        self.docs_bin = bytes(row.docs_bin)
+        self.tfs_bin = bytes(row.tfs_bin)
+        self.df = int(row.df)
+        self.cf = int(row.cf)
+        self.codec = codec
+        w = F32(weight) if weighted else F32(1.0)
+        self.weight = w
+        if scorer.separable:
+            self.idf = F32(scorer.idf(np.array([self.df]), stats["num_docs"])[0]) * w
+        else:
+            self.idf = w
+        self.blk_ub = (np.asarray(row.block_max_part, dtype=F32) * self.idf)
+        self.ub = F32(self.blk_ub.max()) if self.blk_ub.size else F32(0.0)
+        self._docs = None
+        self._tfs = None
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._docs is None:
+            if self.codec == "varint":
+                self._docs = codecs.decode_gap_stream(
+                    self.docs_bin, self.base_doc, "varint", self.n)
+            else:
+                parts, prev = [], self.base_doc
+                offs = list(self.doc_offs) + [len(self.docs_bin)]
+                for i in range(len(offs) - 1):
+                    d = codecs.decode_gap_stream(
+                        self.docs_bin[offs[i]:offs[i + 1]], prev, "ef")
+                    prev = int(d[-1])
+                    parts.append(d)
+                self._docs = np.concatenate(parts)
+            self._tfs = codecs.decode_tfs(self.tfs_bin, self.n)
+        return self._docs, self._tfs
+
+    def blocks_overlapping(self, lo: int, hi: int) -> tuple[int, int]:
+        """Inclusive block index span intersecting doc range [lo, hi)."""
+        nblk = self.blk_last.size
+        b0 = int(np.searchsorted(self.blk_last, lo, "left"))
+        if b0 >= nblk:
+            return 1, 0  # empty span
+        b1 = int(np.searchsorted(self.blk_last, hi - 1, "left"))
+        b1 = min(b1, nblk - 1)
+        return b0, b1
+
+    def range_ub(self, lo: int, hi: int) -> np.float32:
+        b0, b1 = self.blocks_overlapping(lo, hi)
+        if b0 > b1:
+            return F32(0.0)
+        return F32(self.blk_ub[b0:b1 + 1].max())
+
+    def docs_in(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        docs, tfs = self.decode_all()
+        i0 = np.searchsorted(docs, lo, "left")
+        i1 = np.searchsorted(docs, hi, "left")
+        return docs[i0:i1], tfs[i0:i1]
+
+    def doc_block_ub(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Per-doc upper bound from the block that would contain each doc
+        (block_max_scored_cursor.hpp block_max_score semantics)."""
+        idx = np.searchsorted(self.blk_last, doc_ids, "left")
+        out = np.zeros(doc_ids.size, dtype=F32)
+        mask = (idx < self.blk_last.size) & (doc_ids > self.base_doc)
+        out[mask] = self.blk_ub[idx[mask]]
+        return out
+
+    def contrib(self, doc_ids: np.ndarray, scorer, stats,
+                doc_lens: np.ndarray, shard_base: int) -> np.ndarray:
+        """Actual score contribution for given docs (0 when absent)."""
+        docs, tfs = self.decode_all()
+        idx = np.searchsorted(docs, doc_ids, "left")
+        idx_c = np.minimum(idx, docs.size - 1)
+        present = (docs.size > 0) & (docs[idx_c] == doc_ids) & (idx < docs.size)
+        out = np.zeros(doc_ids.size, dtype=F32)
+        if not present.any():
+            return out
+        p_docs = doc_ids[present]
+        p_tfs = tfs[idx[present]]
+        dl = doc_lens[p_docs - shard_base]
+        if scorer.separable:
+            out[present] = self.idf * scorer.doc_part(p_tfs, dl, stats["avg_len"])
+        else:
+            out[present] = self.weight * scorer.score(
+                p_tfs, dl, df=self.df, cf=self.cf,
+                num_docs=stats["num_docs"], avg_len=stats["avg_len"],
+                collection_len=stats["collection_len"])
+        return out
+
+
+def _canonical_scores(doc_ids: np.ndarray, runs: list[_TermRun], scorer,
+                      stats, doc_lens: np.ndarray, shard_base: int) -> np.ndarray:
+    """Sum contributions in fixed ascending term_id order (float32) so every
+    algorithm produces bit-identical scores for the same doc."""
+    total = np.zeros(doc_ids.size, dtype=F32)
+    for run in sorted(runs, key=lambda r: r.term_id):
+        total = total + run.contrib(doc_ids, scorer, stats, doc_lens, shard_base)
+    return total
+
+
+class _TopK:
+    """Running top-k with tie-keeping threshold (topk_queue.hpp analogue;
+    ties at the k-th score are kept so the global doc-asc tie-break stays
+    exact)."""
+
+    def __init__(self, k: int, theta0: float = 0.0):
+        self.k = k
+        self.docs: np.ndarray = np.zeros(0, dtype=np.int64)
+        self.scores: np.ndarray = np.zeros(0, dtype=F32)
+        self.theta = F32(theta0)
+        self.seeded = theta0 > 0.0
+
+    def merge(self, docs: np.ndarray, scores: np.ndarray) -> None:
+        if docs.size == 0:
+            return
+        self.docs = np.concatenate((self.docs, docs))
+        self.scores = np.concatenate((self.scores, scores))
+        if self.docs.size > self.k:
+            kth = np.partition(self.scores, self.scores.size - self.k)[
+                self.scores.size - self.k]
+            keep = self.scores >= kth
+            self.docs, self.scores = self.docs[keep], self.scores[keep]
+            self.theta = max(self.theta, F32(kth))
+        elif self.docs.size == self.k and not self.seeded:
+            self.theta = max(self.theta, F32(self.scores.min()))
+
+
+def _active_ranges(runs: list[_TermRun], shard_base: int, shard_end: int,
+                   range_span: int) -> np.ndarray:
+    """Doc ranges (indices) that intersect at least one posting block."""
+    n_ranges = (shard_end - shard_base + range_span - 1) // range_span
+    diff = np.zeros(n_ranges + 1, dtype=np.int64)
+    for run in runs:
+        firsts = np.concatenate(([run.base_doc + 1], run.blk_last[:-1] + 1))
+        starts = np.clip((firsts - shard_base) // range_span, 0, n_ranges - 1)
+        ends = np.clip((run.blk_last - shard_base) // range_span, 0, n_ranges - 1)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, ends + 1, -1)
+    return np.flatnonzero(np.cumsum(diff[:-1]) > 0)
+
+
+def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
+                doc_lens: np.ndarray, shard_base: int, range_span: int,
+                theta0: float) -> tuple[np.ndarray, np.ndarray]:
+    shard_end = shard_base + doc_lens.size
+    topk = _TopK(k, theta0)
+    if algorithm == "ranked_or":
+        # exhaustive disjunction: one pass, no pruning
+        all_docs = np.unique(np.concatenate([r.decode_all()[0] for r in runs]))
+        scores = _canonical_scores(all_docs, runs, scorer, stats, doc_lens,
+                                   shard_base)
+        pos = scores > 0  # reference finalize() drops <= 0 (topk_queue.hpp:77)
+        topk.merge(all_docs[pos], scores[pos])
+        return topk.docs, topk.scores
+
+    for r_idx in _active_ranges(runs, shard_base, shard_end, range_span):
+        lo = shard_base + int(r_idx) * range_span
+        hi = min(lo + range_span, shard_end)
+        # pruning threshold with a few float32 ulps of slack: upper-bound
+        # sums accumulate in a different order than canonical scores, so an
+        # exactly-tied doc's bound can round 1 ulp below theta. Final
+        # filtering uses exact canonical scores, so results stay exact.
+        prune = topk.theta * F32(1.0 - 1e-6)
+        ubs = np.array([run.range_ub(lo, hi) for run in runs], dtype=F32)
+        order = np.argsort(ubs, kind="stable")
+        if ubs.sum(dtype=F32) < prune or not (ubs > 0).any():
+            continue  # whole range cannot beat theta (block-max range skip)
+
+        if algorithm == "block_max_wand":
+            cand = np.unique(np.concatenate(
+                [run.docs_in(lo, hi)[0] for run in runs]))
+            if cand.size == 0:
+                continue
+            bound = np.zeros(cand.size, dtype=F32)
+            for run in runs:
+                bound += run.doc_block_ub(cand)
+            cand = cand[bound >= prune]
+        elif algorithm == "maxscore":
+            # non-essential prefix (ascending ub) with cum-ub strictly below
+            # theta can never alone lift a doc past the threshold
+            cum = np.cumsum(ubs[order], dtype=F32)
+            n_noness = int(np.searchsorted(cum, prune, "left"))
+            noness = [(runs[i], ubs[i]) for i in order[:n_noness]]
+            ess = [runs[i] for i in order[n_noness:]]
+            if not ess:
+                continue
+            cand = np.unique(np.concatenate(
+                [run.docs_in(lo, hi)[0] for run in ess]))
+            if cand.size == 0:
+                continue
+            partial = np.zeros(cand.size, dtype=F32)
+            for run in ess:
+                partial += run.contrib(cand, scorer, stats, doc_lens, shard_base)
+            remaining = F32(sum(ub for _, ub in noness))
+            keep = partial + remaining >= prune
+            cand, partial = cand[keep], partial[keep]
+            for run, ub in sorted(noness, key=lambda p: -p[1]):
+                if cand.size == 0:
+                    break
+                partial += run.contrib(cand, scorer, stats, doc_lens, shard_base)
+                remaining = F32(remaining - ub)
+                keep = partial + remaining >= prune
+                cand, partial = cand[keep], partial[keep]
+        else:
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+
+        if cand.size == 0:
+            continue
+        scores = _canonical_scores(cand, runs, scorer, stats, doc_lens,
+                                   shard_base)
+        keep = (scores >= topk.theta) & (scores > 0)
+        topk.merge(cand[keep], scores[keep])
+    return topk.docs, topk.scores
+
+
+def make_query_terms_df(spark, queries: list[str], cfg: IndexConfig):
+    rows = analyze_query_terms(queries, cfg)
+    return spark.createDataFrame(rows, "qid string, term string, weight double")
+
+
+def topk_search(index, queries: list[str] | object, k: int = 10,
+                algorithm: str = "maxscore", weighted: bool = False,
+                range_span: int = 16384,
+                thresholds: dict[str, float] | None = None):
+    """Run BM25 (or configured scorer) top-k retrieval.
+
+    queries: raw query lines or a (qid, term, weight) DataFrame.
+    Returns DataFrame (qid, doc_id, url, score, rank).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cfg = index.cfg
+    spark = index.lexicon.sparkSession
+    stats = dict(index.stats)
+    scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    if isinstance(queries, list):
+        qterms = make_query_terms_df(spark, queries, cfg)
+    else:
+        qterms = queries
+
+    # unknown terms are dropped by the inner join
+    # (reference query_parser.cpp:33-38)
+    q = qterms.join(index.lexicon.select("term", "term_id", "df", "cf"), "term")
+    joined = (
+        q.join(index.postings, "term_id")
+        .join(index.shards.select("shard_id", "base_doc", "doc_lens")
+              .withColumnRenamed("base_doc", "shard_base"), "shard_id")
+    )
+
+    codec = cfg.codec
+    thr = dict(thresholds or {})
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid, shard_id = key[0], int(key[1])
+        doc_lens = np.asarray(pdf["doc_lens"].iat[0], dtype=np.int64)
+        shard_base = int(pdf["shard_base"].iat[0])
+        runs = [
+            _TermRun(row, scorer, stats, float(row.weight), weighted, codec)
+            for row in pdf.itertuples(index=False)
+        ]
+        docs, scores = _run_kernel(
+            algorithm, runs, k, scorer, stats, doc_lens, shard_base,
+            range_span, float(thr.get(qid, 0.0)))
+        return pd.DataFrame({
+            "qid": np.repeat(qid, docs.size),
+            "doc_id": docs,
+            "score": scores.astype(np.float32),
+        })
+
+    partial = joined.groupBy("qid", "shard_id").applyInPandas(
+        kernel, schema=TOPK_PARTIAL_SCHEMA)
+
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(index.docs.select("doc_id", "url"), "doc_id")
+        .select("qid", "doc_id", "url", "score", "rank")
+    )
+
+
+def trec_output(results_df, run_id: str = "pisa_spark"):
+    """Format results as TREC run lines: qid Q0 url rank score run_id
+    (reference evaluate_queries.cpp:159-172)."""
+    from pyspark.sql import functions as F
+
+    return results_df.select(
+        F.concat_ws(" ", "qid", F.lit("Q0"), "url", "rank",
+                    F.format_string("%.6f", "score"), F.lit(run_id)).alias("line"))

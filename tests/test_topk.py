@@ -1,0 +1,164 @@
+"""Rank-identity of pruned executors vs the exhaustive oracle.
+
+Mirrors the reference's central correctness test
+(test/test_ranked_queries.cpp:119-168): every pruned algorithm must return
+the same result set as exhaustive ranked_or. We require *exact* equality of
+(doc_id, float32 score, rank) — stronger than the reference's 0.1% — because
+all executors accumulate scores in canonical ascending-term_id order.
+
+Also checks against an independent pure-Python float32 BM25 (same canonical
+order), plus threshold seeding, weighted queries, and unknown-term drops.
+"""
+
+import collections
+import math
+
+import numpy as np
+import pytest
+
+from pisa_spark.config import IndexConfig
+from pisa_spark.functions.tokenize import analyze_query_terms, make_analyzer
+from pisa_spark.operators.topk import topk_search, trec_output
+from pisa_spark.plans.build import build_index, extract_pages
+from pisa_spark.sources import webtext
+
+N_DOCS = 300
+N_QUERIES = 40
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return webtext.generate_pandas(N_DOCS, seed=13)
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    cfg = IndexConfig(shard_span=64)  # several shards at 300 docs
+    pages = spark.createDataFrame(corpus)
+    return build_index(extract_pages(pages, cfg), cfg)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return webtext.synth_queries(N_QUERIES, seed=29)
+
+
+@pytest.fixture(scope="module")
+def pyref(corpus):
+    """Pure-python float32 BM25 with canonical term-order accumulation."""
+    cfg = IndexConfig()
+    analyze = make_analyzer(cfg)
+    en = corpus[corpus.lang == "en"].sort_values("url").reset_index(drop=True)
+    postings: dict = collections.defaultdict(dict)
+    doc_len: dict = {}
+    for d, text in enumerate(en["text"]):
+        toks = analyze(text)
+        doc_len[d] = len(toks)
+        for t in toks:
+            postings[t][d] = postings[t].get(d, 0) + 1
+    n = len(en)
+    avg = np.float32(sum(doc_len.values()) / n)
+    lex_order = {t: i for i, t in enumerate(sorted(postings))}
+
+    def topk(qterms, k=K):
+        f32 = np.float32
+        scores: dict = collections.defaultdict(f32)
+        known = sorted((t for t, _ in qterms if t in postings),
+                       key=lex_order.__getitem__)
+        for t in known:
+            df = len(postings[t])
+            idf = f32(max(1e-6, math.log(
+                (f32(n) - f32(df) + f32(0.5)) / (f32(df) + f32(0.5))))) * f32(1.9)
+            for d, f in postings[t].items():
+                f = f32(f)
+                nl = f32(doc_len[d]) / avg
+                scores[d] = scores[d] + idf * (
+                    f / (f + f32(0.9) * (f32(1.0) - f32(0.4) + f32(0.4) * nl)))
+        items = [(d, s) for d, s in scores.items() if s > 0]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items[:k]
+
+    return topk
+
+
+@pytest.fixture(scope="module")
+def oracle_results(index, queries):
+    out = topk_search(index, queries, k=K, algorithm="ranked_or",
+                      range_span=128).toPandas()
+    return {
+        q: [(r.doc_id, r.score) for r in g.sort_values("rank").itertuples()]
+        for q, g in out.groupby("qid")
+    }
+
+
+@pytest.mark.parametrize("algorithm", ["maxscore", "block_max_wand"])
+def test_pruned_matches_exhaustive_exactly(index, queries, oracle_results,
+                                           algorithm):
+    out = topk_search(index, queries, k=K, algorithm=algorithm,
+                      range_span=128).toPandas()
+    got = {
+        q: [(r.doc_id, r.score) for r in g.sort_values("rank").itertuples()]
+        for q, g in out.groupby("qid")
+    }
+    assert set(got) == set(oracle_results)
+    for q in oracle_results:
+        assert got[q] == oracle_results[q], f"query {q}"
+
+
+def test_oracle_matches_pure_python(oracle_results, queries, pyref):
+    cfg = IndexConfig()
+    qmap = collections.defaultdict(list)
+    for qid, term, w in analyze_query_terms(queries, cfg):
+        qmap[qid].append((term, w))
+    answered = 0
+    for q, got in oracle_results.items():
+        ref = pyref(qmap[q])
+        assert [d for d, _ in ref] == [d for d, _ in got], f"query {q}"
+        for (d1, s1), (d2, s2) in zip(ref, got):
+            assert abs(s1 - s2) <= 1e-6 * max(abs(s1), 1.0)
+        answered += 1
+    assert answered > N_QUERIES // 2
+
+
+def test_unknown_only_query_returns_nothing(index):
+    out = topk_search(index, ["Q0:zzzunknownterm qqqmissing"], k=K).toPandas()
+    assert len(out) == 0
+
+
+def test_threshold_seeding_rank_safe(index, queries, oracle_results):
+    # seed each query with its true k-th score (reference tools/thresholds.cpp)
+    thresholds = {q: float(res[-1][1]) for q, res in oracle_results.items()
+                  if len(res) == K}
+    out = topk_search(index, queries, k=K, algorithm="maxscore",
+                      range_span=128, thresholds=thresholds).toPandas()
+    got = {
+        q: [(r.doc_id, r.score) for r in g.sort_values("rank").itertuples()]
+        for q, g in out.groupby("qid")
+    }
+    for q in oracle_results:
+        assert got[q] == oracle_results[q], f"query {q}"
+
+
+def test_weighted_query_doubles_duplicate_term(index, spark):
+    # a query with a duplicated term gets weight 2 for it; in weighted mode
+    # its contribution doubles (reference cursor/scored_cursor.hpp:10-17)
+    qs = ["Qw:term0000 term0000"]
+    plain = topk_search(index, qs, k=5, weighted=False).toPandas()
+    weighted = topk_search(index, qs, k=5, weighted=True).toPandas()
+    if len(plain) and len(weighted):
+        p = plain.sort_values("rank").iloc[0]
+        w = weighted.sort_values("rank").iloc[0]
+        assert w.doc_id == p.doc_id
+        assert np.isclose(w.score, 2 * p.score, rtol=1e-6)
+
+
+def test_trec_output_format(index):
+    res = topk_search(index, ["Q1:term0000"], k=3)
+    lines = [r.line for r in trec_output(res).collect()]
+    assert len(lines) <= 3
+    for line in lines:
+        parts = line.split(" ")
+        assert parts[0] == "Q1" and parts[1] == "Q0"
+        assert parts[2].startswith("https://")
+        float(parts[4])
