@@ -1,10 +1,26 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship — build the inverted index over the sf0.001
+documents table and answer the embedded query set with the Block-Max-WAND
+executor.
+
+queries() / oracle_sql(): one entry per implemented operator family
+(SURVEY.md §2 + training-pipeline extras); the driver runs the Spark
+callable and the DuckDB SQL side-by-side at sf=0.01 and compares
+row-count + schema + value-hash.
+
+Cross-engine determinism rules used throughout:
+- all hashing is md5-derived (identical hex in both engines);
+- tokenization is the same regex alternation (Spark + RE2 are both
+  leftmost, alternation-ordered) with the same per-class transforms;
+- scores/ratios are computed in double precision in BOTH engines and
+  rounded to 6 decimals; ranking happens on the rounded value with
+  doc-asc tie-breaks;
+- integer outputs are cast to long (DuckDB count/len return BIGINT).
+
+The float32 reference-faithful scoring path (index + pruned executors) is
+exercised by entries without oracle_sql (rows-only checks) and by the pytest
+rank-identity suite (tests/test_topk.py) against the exhaustive oracle.
 """
 
 from __future__ import annotations
@@ -13,26 +29,535 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# ---------------------------------------------------------------- constants
+
+# Embedded reference-style query set over the documents-table vocabulary:
+# multi-term, single-term, duplicate-term (weight accumulation), unknown-term
+# (dropped, reference query_parser.cpp:33-38), and stopword-grade terms.
+QUERY_SET = [
+    "Q01:join hash",
+    "Q02:customer order line",
+    "Q03:spark stream window",
+    "Q04:vector column agg",
+    "Q05:slow scan filter table",
+    "Q06:merge batch",
+    "Q07:key value group",
+    "Q08:data small part row",
+    "Q09:join join sort",          # duplicate term
+    "Q10:window zzzunknownterm",   # unknown term dropped
+    "Q11:shuffle spill partition",
+    "Q12:a the scan",              # stopword-grade heavy hitters
+]
+
+N_MINHASH = 16
+N_BANDS = 4
+MINHASH_SHINGLE_N = 2
+JACCARD_THRESHOLD = 0.6
+NEARDUP_COSINE = 0.55
+ANN_QUERY_IDS = list(range(8))
+
+# the reference English lexer alternation (reference src/tokenizer.cpp:70-78)
+_PAT = r"([a-zA-Z]+\.){2,}|[a-zA-Z0-9]+'[a-zA-Z]+|[a-zA-Z0-9]+"
+_PAT_SQL = _PAT.replace("'", "''")
+
+# DuckDB list-of-normalized-tokens expression (same transforms as
+# pisa_spark.functions.tokenize / operators.textstats.english_tokens_col)
+TOKS_SQL = (
+    "list_transform(regexp_extract_all(text, '" + _PAT_SQL + "'), "
+    "t -> lower(case when regexp_matches(t, '^([a-zA-Z]+\\.){2,}$') "
+    "then replace(t, '.', '') "
+    "when contains(t, chr(39)) then split_part(t, chr(39), 1) "
+    "else t end))"
+)
+
+_STOPS_SQL = "('the','and','of','to','a','in','is','it','you','that')"
+
+
+def _qterm_rows():
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.functions.tokenize import analyze_query_terms
+
+    return analyze_query_terms(QUERY_SET, IndexConfig())
+
+
+def _qterms_values_sql() -> str:
+    rows = sorted({(qid, term) for qid, term, _ in _qterm_rows()})
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in rows)
+    return f"(values {vals}) as qterms(qid, term)"
+
+
+# ------------------------------------------------------------------ helpers
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    """Build (and cache) the inverted index over the documents table; the
+    original doc_id is recoverable from the zero-padded url key."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    from pyspark.sql import functions as F
+
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.plans.build import build_index
+
+    cfg = IndexConfig(shard_span=512)
+    docs = _documents(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text")
+    idx = build_index(docs, cfg)
+    _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _with_orig_doc_id(results_df):
+    from pyspark.sql import functions as F
+
+    return results_df.withColumn("doc_id", F.col("url").cast("long"))
+
+
+# ------------------------------------------------------------------ queries
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index build + Block-Max-WAND BM25 top-10 on sf0.001."""
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, "/root/testdata/sf0.001")
+    res = topk_search(idx, QUERY_SET, k=10, algorithm="block_max_wand")
+    return _with_orig_doc_id(res).select("qid", "doc_id", "score", "rank")
+
+
+def _q_doc_lengths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import english_tokens_col
+
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(english_tokens_col(F.col("text"))).cast("long").alias("doc_len"))
+
+
+def _q_term_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import english_tokens_col
+
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", F.explode(english_tokens_col(F.col("text"))).alias("term"))
+    return toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"))
+
+
+def _q_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stats = _q_term_stats(spark, sf_dir)
+    w = W.orderBy(F.desc("cf"), F.asc("term"))
+    return (stats.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 25)
+            .select("rank", "term", "df", "cf"))
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from pisa_spark.operators.topk import bm25_topk_dataframe
+
+    out = bm25_topk_dataframe(_documents(spark, sf_dir), QUERY_SET, k=10)
+    from pyspark.sql import functions as F
+
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_bm25_topk_bmw(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, sf_dir)
+    res = topk_search(idx, QUERY_SET, k=10, algorithm="block_max_wand")
+    return _with_orig_doc_id(res).select(
+        "qid", "doc_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_bm25_topk_maxscore(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, sf_dir)
+    res = topk_search(idx, QUERY_SET, k=10, algorithm="maxscore")
+    return _with_orig_doc_id(res).select(
+        "qid", "doc_id", F.col("score").cast("double").alias("score_f32"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+def _q_boolean_and(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.boolean import and_count
+
+    idx = _get_index(spark, sf_dir)
+    return and_count(idx, QUERY_SET).select(
+        "qid", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _q_boolean_or(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.boolean import or_count
+
+    idx = _get_index(spark, sf_dir)
+    return or_count(idx, QUERY_SET).select(
+        "qid", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _q_exact_duplicates(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_documents(spark, sf_dir)).select(
+        "text_hash", F.col("n_docs").cast("long").alias("n_docs"),
+        "keep_doc_id")
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from pisa_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(spark, sf_dir), shingle_n=1,
+                               threshold=JACCARD_THRESHOLD)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from pisa_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(spark, sf_dir),
+                             n_hashes=N_MINHASH, bands=N_BANDS,
+                             shingle_n=MINHASH_SHINGLE_N)
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_documents(spark, sf_dir),
+                              n_hashes=N_MINHASH,
+                              shingle_n=MINHASH_SHINGLE_N)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("h_idx", "sig_val")
+    ).select("doc_id", F.col("h_idx").cast("long").alias("h_idx"), "sig_val")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from pisa_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from pisa_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_embeddings(spark, sf_dir),
+                                   threshold=NEARDUP_COSINE)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10,
+                       n_planes=6, probes=4, multiprobe=1)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from pisa_spark.operators.textstats import language_id
+
+    return language_id(_documents(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import quality_score
+
+    return quality_score(_documents(spark, sf_dir)).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _q_token_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import token_stats
+
+    return token_stats(_documents(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.round("avg_token_len", 6).alias("avg_token_len"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from pisa_spark.operators.textstats import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_lengths": _q_doc_lengths,
+        "term_stats": _q_term_stats,
+        "top_terms": _q_top_terms,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_bmw": _q_bm25_topk_bmw,
+        "bm25_topk_maxscore": _q_bm25_topk_maxscore,
+        "boolean_and_count": _q_boolean_and,
+        "boolean_or_count": _q_boolean_or,
+        "exact_duplicates": _q_exact_duplicates,
+        "unigram_jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "minhash_sigs": _q_minhash_sigs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "token_stats": _q_token_stats,
+        "fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracle SQL
+
+def _toks_cte() -> str:
+    return (
+        f"toks as (select doc_id, unnest({TOKS_SQL}) as term "
+        f"from documents)")
+
+
+def _hash60_sql(expr: str) -> str:
+    return (f"cast(cast(concat('0x', substr(md5({expr}), 1, 15)) as ubigint) "
+            f"as bigint)")
+
+
+def _minhash_sig_exprs() -> list[str]:
+    return [
+        f"list_min(list_transform(sh, s -> "
+        + _hash60_sql(f"concat('{i}:', s)") + f")) as s{i}"
+        for i in range(N_MINHASH)
+    ]
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB n-gram shingle list (mirrors dedup.shingles_col)."""
+    if n == 1:
+        return f"list_distinct({TOKS_SQL})"
+    joined = ", ' ', ".join(f"toks[i+{j+1}]" for j in range(n))
+    return (f"(select case when len(toks) >= {n} then "
+            f"list_distinct(list_transform(range(len(toks) - {n - 1}), "
+            f"i -> concat({joined}))) else [] end "
+            f"from (select {TOKS_SQL} as toks) _t)")
+
+
+def _minhash_base_cte() -> str:
+    sig_cols = ",\n    ".join(_minhash_sig_exprs())
+    sh = _shingles_sql(MINHASH_SHINGLE_N)
+    return f"""
+shl as (select doc_id, {sh} as sh from documents),
+shf as (select doc_id, sh from shl where len(sh) > 0),
+sigs as (select doc_id, {sig_cols} from shf)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qv = _qterms_values_sql()
+    rows_per_band = N_MINHASH // N_BANDS
+    band_exprs = []
+    for b in range(N_BANDS):
+        cols = " , ',' , ".join(
+            f"cast(s{b * rows_per_band + r} as varchar)"
+            for r in range(rows_per_band))
+        band_exprs.append(
+            f"select doc_id, {b} as band, md5(concat({cols})) as bhash from sigs")
+    bands_union = " union all ".join(band_exprs)
+
+    bm25_sql = f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+dft as (select term, count(*) as df from tf group by term),
+stats as (select (select count(*) from documents) as n,
+                 (select sum(dl) from dl)::double
+                 / (select count(*) from documents) as avg),
+qt as (select distinct qid, term from {qv}),
+scored as (
+  select qt.qid, tf.doc_id,
+         round(sum(greatest(1e-6,
+                    ln((stats.n::double - dft.df + 0.5) / (dft.df + 0.5)))
+                   * 1.9
+                   * (tf.tf / (tf.tf + 0.9 * (0.6 + 0.4 * dl.dl / stats.avg)))),
+               6) as score
+  from qt join tf using(term) join dl on tf.doc_id = dl.doc_id
+       join dft on tf.term = dft.term cross join stats
+  group by qt.qid, tf.doc_id)
+select qid, doc_id, score, rank from (
+  select *, row_number() over (partition by qid
+                               order by score desc, doc_id) as rank
+  from scored) where rank <= 10
+"""
+
+    boolean_common = f"""
+with {_toks_cte()},
+dt as (select distinct doc_id, term from toks),
+qv as (select distinct qid, term from {qv}
+       where term in (select distinct term from toks)),
+nq as (select qid, count(*) as nt from qv group by qid)
+"""
+
+    quality_sql = f"""
+with t as (select doc_id, text, {TOKS_SQL} as toks from documents),
+f as (select doc_id,
+        len(toks) as n_tokens,
+        case when length(text) > 0
+             then (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::double / length(text)
+             else 0.0 end as punct_ratio,
+        case when len(toks) > 0
+             then len(list_filter(toks, x -> x in {_STOPS_SQL}))::double / len(toks)
+             else 0.0 end as stop_ratio,
+        case when len(toks) >= 20 and len(toks) <= 100000 then 1.0 else 0.0 end as len_ok
+      from t)
+select doc_id, n_tokens,
+       round(punct_ratio, 6) as punct_ratio,
+       round(stop_ratio, 6) as stopword_ratio,
+       round(len_ok * (0.5 + 0.25 * least(stop_ratio / 0.04, 1.0)
+                           + 0.25 * (1.0 - least(punct_ratio / 0.2, 1.0))), 6)
+         as quality
+from f
+"""
+
+    return {
+        "doc_lengths": (
+            f"select doc_id, len(regexp_extract_all(text, '{_PAT_SQL}')) "
+            f"as doc_len from documents"),
+        "term_stats": (
+            f"with {_toks_cte()} select term, count(distinct doc_id) as df, "
+            f"count(*) as cf from toks group by term"),
+        "top_terms": (
+            f"with {_toks_cte()}, ts as (select term, "
+            f"count(distinct doc_id) as df, count(*) as cf from toks "
+            f"group by term) "
+            f"select rank, term, df, cf from (select *, row_number() over "
+            f"(order by cf desc, term) as rank from ts) where rank <= 25"),
+        "bm25_topk": bm25_sql,
+        "boolean_and_count": boolean_common + """
+, cand as (select qv.qid, dt.doc_id, count(*) as c
+           from qv join dt using(term) group by qv.qid, dt.doc_id)
+select cand.qid, count(*) as n_docs
+from cand join nq on cand.qid = nq.qid
+where cand.c = nq.nt group by cand.qid
+""",
+        "boolean_or_count": boolean_common + """
+select qv.qid, count(distinct dt.doc_id) as n_docs
+from qv join dt using(term) group by qv.qid
+""",
+        "exact_duplicates": """
+select md5(text) as text_hash, count(*) as n_docs, min(doc_id) as keep_doc_id
+from documents group by md5(text) having count(*) > 1
+""",
+        "unigram_jaccard_pairs": f"""
+with sh as (select doc_id, unnest(list_distinct({TOKS_SQL})) as shingle
+            from documents where len({TOKS_SQL}) > 0),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+          from sh a join sh b using(shingle)
+          where a.doc_id < b.doc_id group by a.doc_id, b.doc_id)
+select doc_a, doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 6) as jaccard
+from inter join sizes sa on doc_a = sa.doc_id
+           join sizes sb on doc_b = sb.doc_id
+where round(n_inter / (sa.n + sb.n - n_inter), 6) >= {JACCARD_THRESHOLD}
+""",
+        "minhash_lsh_pairs": f"""
+with {_minhash_base_cte()},
+bands as ({bands_union})
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from bands a join bands b on a.band = b.band and a.bhash = b.bhash
+where a.doc_id < b.doc_id
+""",
+        "minhash_sigs": (
+            f"with {_minhash_base_cte()} "
+            + " union all ".join(
+                f"select doc_id, cast({i} as bigint) as h_idx, s{i} as sig_val from sigs"
+                for i in range(N_MINHASH))),
+        "embedding_neardup": f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+n as (select vec_id, v, sqrt(list_dot_product(v, v)) as nrm from e)
+select a.vec_id as vec_a, b.vec_id as vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) as cosine
+from n a join n b on a.vec_id < b.vec_id
+where round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {NEARDUP_COSINE}
+""",
+        "cosine_topk": f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+n as (select vec_id, v, sqrt(list_dot_product(v, v)) as nrm from e),
+q as (select vec_id as qid, v as qv, nrm as qn from n
+      where vec_id in ({', '.join(map(str, ANN_QUERY_IDS))})),
+scored as (select q.qid, n.vec_id as vid,
+                  round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
+                    as cosine
+           from q join n on n.vec_id != q.qid)
+select qid, vid, cosine, rank from (
+  select *, row_number() over (partition by qid
+                               order by cosine desc, vid) as rank
+  from scored) where rank <= 10
+""",
+        "lang_id": f"""
+with t as (select doc_id, {TOKS_SQL} as toks from documents),
+r as (select doc_id,
+        case when len(toks) > 0
+             then len(list_filter(toks, x -> x in {_STOPS_SQL}))::double / len(toks)
+             else 0.0 end as ratio
+      from t)
+select doc_id, round(ratio, 6) as stopword_ratio,
+       case when ratio >= 0.02 then 'en' else 'und' end as lang_pred
+from r
+""",
+        "quality_score": quality_sql,
+        "token_stats": f"""
+with t as (select doc_id, {TOKS_SQL} as toks from documents)
+select doc_id, len(toks) as n_tokens,
+       len(list_distinct(toks)) as n_unique,
+       round(case when len(toks) > 0
+             then list_sum(list_transform(toks, x -> length(x)))::double / len(toks)
+             else 0.0 end, 6) as avg_token_len
+from t
+""",
+        "fingerprint": f"""
+with t as (select doc_id, {TOKS_SQL} as toks from documents)
+select doc_id,
+       case when len(toks) >= 8
+            then list_min(list_transform(range(len(toks) - 7),
+                 i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+            else md5(array_to_string(toks, ' ')) end as fingerprint
+from t
+""",
+    }

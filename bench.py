@@ -1,0 +1,170 @@
+"""Benchmark driver: one JSON line on stdout.
+
+Measures the BASELINE.json metric surface:
+- index-build throughput (docs/sec) on the synthetic webtext corpus
+  (HTML extraction -> tokenize -> postings -> encode -> metadata),
+- BM25 top-10 query latency p50/p95 (per-query jobs) + batch throughput
+  with the Block-Max-WAND executor,
+- wall time of representative queries() entries at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (default 20000),
+     SPARK_GRAFT_SCALING=1 to add the local[N] vs local[4N] scaling run
+     (also available standalone via scripts/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_ENTRIES = [
+    "doc_lengths", "term_stats", "bm25_topk", "bm25_topk_bmw",
+    "bm25_topk_maxscore", "boolean_and_count", "minhash_lsh_pairs",
+    "simhash_pairs", "cosine_topk", "lsh_ann_topk", "lang_id",
+    "quality_score", "token_stats", "fingerprint",
+]
+
+N_LATENCY_QUERIES = 20
+
+
+def _corpus(spark, n_docs: int, path: str):
+    from pisa_spark.sources import webtext
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        webtext.generate(spark, n_docs, seed=13).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def build_bench(spark, n_docs: int) -> dict:
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.plans.build import build_index
+
+    cfg = IndexConfig(shard_span=1 << 14)
+    pages = _corpus(spark, n_docs,
+                    f"/root/repo/.cache/bench_corpus_{n_docs}")
+    t0 = time.time()
+    idx = build_index(pages, cfg, html_col="html")
+    idx.postings.count()  # materialize every stage
+    idx.lexicon.count()
+    build_s = time.time() - t0
+    return {
+        "build_seconds": round(build_s, 3),
+        "docs_per_sec": round(idx.stats["num_docs"] / build_s, 1),
+        "num_docs": idx.stats["num_docs"],
+        "_index": idx,
+    }
+
+
+def query_bench(spark, idx) -> dict:
+    from pisa_spark.operators.topk import topk_search
+    from pisa_spark.sources import webtext
+
+    queries = webtext.synth_queries(100, seed=29)
+    # batch: all 100 queries in one job (the cluster-shaped workload)
+    t0 = time.time()
+    n = topk_search(idx, queries, k=10, algorithm="block_max_wand").count()
+    batch_s = time.time() - t0
+    # per-query latency (reference queries.cpp shape: first run warms up)
+    topk_search(idx, [queries[0]], k=10,
+                algorithm="block_max_wand").collect()  # untimed warm-up
+    lat = []
+    for q in queries[:N_LATENCY_QUERIES]:
+        t0 = time.time()
+        topk_search(idx, [q], k=10, algorithm="block_max_wand",
+                    with_urls=False).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+    return {
+        "batch_100q_seconds": round(batch_s, 3),
+        "batch_rows": n,
+        "queries_per_sec_batch": round(100 / batch_s, 2),
+        "query_p50_ms": round(p50 * 1000, 1),
+        "query_p95_ms": round(p95 * 1000, 1),
+    }
+
+
+def entries_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    entry_mod._get_index(spark, sf_dir).postings.count()  # untimed index build
+    out = {}
+    for name in BENCH_ENTRIES:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).count()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # keep the bench line intact
+            out[name] = f"error: {type(ex).__name__}"
+    return out
+
+
+def scaling_bench(n_docs: int, cores_lo: int = 8, cores_hi: int = 32) -> dict:
+    """Same build at two parallelism levels on identical input — the
+    sandbox stand-in for N vs 4N executors (BASELINE.json north rule)."""
+    from pisa_spark.session import get_spark
+
+    out = {}
+    for cores in (cores_lo, cores_hi):
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active:
+            active.stop()
+        spark = get_spark(app_name=f"pisa-bench-{cores}", cores=cores)
+        res = build_bench(spark, n_docs)
+        out[f"local[{cores}]"] = {
+            "build_seconds": res["build_seconds"],
+            "docs_per_sec": res["docs_per_sec"],
+        }
+        spark.stop()
+    lo = out[f"local[{cores_lo}]"]["docs_per_sec"]
+    hi = out[f"local[{cores_hi}]"]["docs_per_sec"]
+    out["scaling_efficiency"] = round(hi / (lo * (cores_hi / cores_lo)), 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pisa_spark.session import get_spark
+
+    spark = get_spark(app_name="pisa-bench", cores=cpus)
+    t_total = time.time()
+
+    build = build_bench(spark, n_docs)
+    idx = build.pop("_index")
+    qstats = query_bench(spark, idx)
+    entry_times = entries_bench(spark, sf_dir)
+
+    result = {
+        "metric": "pisa_spark headline suite wall time "
+                  "(index build + BM25 top-10 + operator entries)",
+        "value": round(time.time() - t_total, 3),
+        "unit": "sec",
+        "queries": entry_times,
+        "sf": sf,
+        "build": build,
+        "query": qstats,
+        "cpus": cpus,
+        "bench_docs": n_docs,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        result["scaling"] = scaling_bench(n_docs)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Everything except SimHash is pure built-in Spark (codegen'd, shuffle-aware),
+with a line-for-line ANSI-SQL equivalent (DuckDB oracle). All hash choices
+are md5-derived so the two engines agree bit-for-bit.
+
+Scale notes:
+- exact: one hash-aggregate on md5(text) — map-side combined.
+- MinHash+LSH: signatures are per-row higher-order expressions (no shuffle);
+  the band join shuffles only (band_idx, band_hash) keys. Banding bounds
+  candidate pairs; exact Jaccard reranks candidates only.
+- n-gram Jaccard: inverted shingle join — shuffle keyed on shingle hash;
+  heavy shingles behave like heavy terms (AQE skew join handles; a df-cap
+  filter drops boilerplate shingles the same way stopword dropping does).
+- SimHash: one pandas UDF pass (bit loops don't vectorize as Column exprs);
+  hamming<=K pairs via the 4-chunk pigeonhole band join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pisa_spark.operators.textstats import english_tokens_col
+
+N_MINHASH = 16
+N_BANDS = 4
+
+
+def _hash60(col):
+    """First 15 hex chars of md5 as a non-negative int64 (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles_col(tokens, n: int = 3):
+    """Distinct n-token shingles; docs shorter than n yield none."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup: (text_hash, n_docs, min_doc_id) for groups of size > 1."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text",
+                       n_hashes: int = N_MINHASH, shingle_n: int = 3):
+    """(doc_id, sig array<long>): min over shingles of md5(i ':' shingle).
+
+    Computed as explode -> n_hashes scalar hash columns -> groupBy-min:
+    a partial-aggregated shuffle on doc_id, no per-row signature arrays
+    (and it avoids PySpark's nested higher-order-function lambda-variable
+    collision, which silently corrupts sibling transform() minima)."""
+    toks = english_tokens_col(F.col(text_col))
+    sh_flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(toks, shingle_n)).alias("s"))
+    hashed = sh_flat.select(
+        "doc_id",
+        *[_hash60(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+          for i in range(n_hashes)])
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(n_hashes)])
+        .select("doc_id",
+                F.array(*[F.col(f"s{i}") for i in range(n_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = N_MINHASH, bands: int = N_BANDS,
+                      shingle_n: int = 3):
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ])).alias("bhash"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.8):
+    """Exact n-gram Jaccard >= threshold pairs via inverted shingle join."""
+    toks = english_tokens_col(F.col(text_col))
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    shingles_col(toks, shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    flat = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = flat.alias("a"), flat.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 60
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """60-bit SimHash over English-lexer tokens (md5-derived bit hashes)."""
+    import hashlib
+
+    from pisa_spark.functions.tokenize import english_tokens
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        if not text:
+            continue
+        toks = [t.lower() for t in english_tokens(text)]
+        if not toks:
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        terms = list(counts)
+        hashes = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in terms],
+            dtype=np.int64)
+        weights = np.fromiter(counts.values(), dtype=np.int64, count=len(terms))
+        bits = ((hashes[:, None] >> np.arange(SIMHASH_BITS, dtype=np.int64)) & 1)
+        votes = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
+        out[row] = int(((votes > 0).astype(np.int64)
+                        << np.arange(SIMHASH_BITS, dtype=np.int64)).sum())
+    return pd.Series(out)
+
+
+def simhash(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, simhash long) — vectorized pandas UDF (Arrow batches)."""
+    udf = F.pandas_udf(_simhash_batch, "long")
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3):
+    """Pairs with hamming(simhash) <= max_hamming. Pigeonhole banding: split
+    60 bits into 4 chunks; <=3 differing bits => at least one chunk equal, so
+    the candidate join is exact, then the hamming filter reranks."""
+    sh = simhash(docs, id_col, text_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 15).bitwiseAND(F.lit(0x7FFF))
+                     .alias("cval"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.cval")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95):
+    """Embedding-cosine near-dup pairs (exact, all-pairs). For web scale,
+    pre-bucket with similarity.lsh_ann buckets; this exact form is the
+    rerank stage."""
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+                          norm(F.col(vec_col)).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+                F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

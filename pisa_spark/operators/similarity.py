@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: exact brute-force top-k — the baseline/oracle. Query side is
+  broadcast; scoring is a native zip_with/aggregate expression (JVM,
+  codegen'd); per-query top-k via window — Spark's partial/final
+  TakeOrderedAndProject handles the merge.
+- lsh_ann_topk: the scale path — signed-random-projection LSH buckets
+  (deterministic, seed-derived hyperplanes) shrink the candidate set, then
+  the exact cosine reranks within buckets. Recall measured vs brute force
+  in tests; probes > 1 trades compute for recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk(embeddings, query_ids: list[int], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact top-k by cosine for each query id (excluding self)."""
+    from pyspark.sql import Window as W
+
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+                          _norm(F.col(vec_col)).alias("nrm"))
+    q = e.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        e.join(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid",
+                F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cosine"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "cosine", "rank")
+    )
+
+
+def _projections(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 7):
+    """pandas UDF: embedding -> signed-projection bucket id (int)."""
+    planes = _projections(dim, n_planes, seed)
+
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        signs = (mat @ planes.T) > 0
+        return pd.Series(
+            (signs.astype(np.int64)
+             << np.arange(n_planes, dtype=np.int64)).sum(axis=1))
+
+    return F.pandas_udf(bucket, "long")
+
+
+def lsh_ann_topk(embeddings, query_ids: list[int], k: int = 10,
+                 n_planes: int = 12, probes: int = 1, multiprobe: int = 1,
+                 seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """ANN top-k: candidates = vectors sharing a bucket with the query in any
+    of `probes` hash tables (multiprobe additionally checks buckets within
+    `multiprobe` flipped sign bits), exact cosine rerank inside candidates.
+
+    At cluster scale the bucketed join replaces the crossJoin of the exact
+    path: each table is one shuffle keyed on (table, bucket)."""
+    from pyspark.sql import Window as W
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+                          _norm(F.col(vec_col)).alias("nrm"))
+    tables = []
+    for t in range(probes):
+        udf = lsh_bucket_udf(dim, n_planes, seed + t)
+        tables.append(e.select(
+            "vid", F.lit(t).alias("tbl"), udf("v").alias("bucket")))
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+
+    qb = buckets.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"), "tbl", "bucket")
+    if multiprobe > 0:
+        # probe buckets within hamming distance 1 of the query's bucket
+        # (flip each sign bit once); exact rerank keeps results correct
+        flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
+        qb = qb.select(
+            "qid", "tbl",
+            F.explode(F.transform(
+                flips, lambda m: F.col("bucket").bitwiseXOR(m))).alias("bucket"))
+    cand = (
+        buckets.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid").distinct()
+    )
+    q = e.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        cand.join(e, "vid").join(F.broadcast(q), "qid")
+        .select("qid", "vid",
+                F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cosine"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "cosine", "rank")
+    )

@@ -58,7 +58,8 @@ F32 = np.float32
 
 TOPK_PARTIAL_SCHEMA = "qid string, doc_id long, score float"
 
-ALGORITHMS = ("ranked_or", "maxscore", "block_max_wand")
+ALGORITHMS = ("ranked_or", "maxscore", "block_max_wand",
+              "ranked_and", "block_max_ranked_and")
 
 
 class _TermRun:
@@ -215,11 +216,31 @@ def _active_ranges(runs: list[_TermRun], shard_base: int, shard_end: int,
     return np.flatnonzero(np.cumsum(diff[:-1]) > 0)
 
 
+def _conjunction_docs(runs: list[_TermRun], lo: int, hi: int) -> np.ndarray:
+    """Docs present in every run within [lo, hi): candidate-probe from the
+    shortest list (and_query.hpp:18-65 semantics, batched via searchsorted
+    — the sort-merge skip loop vectorized)."""
+    runs_sorted = sorted(runs, key=lambda r: r.n)
+    cand = runs_sorted[0].docs_in(lo, hi)[0]
+    for run in runs_sorted[1:]:
+        if cand.size == 0:
+            return cand
+        docs, _ = run.decode_all()
+        idx = np.searchsorted(docs, cand, "left")
+        idx_c = np.minimum(idx, docs.size - 1)
+        cand = cand[(docs[idx_c] == cand) & (idx < docs.size)]
+    return cand
+
+
 def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
                 doc_lens: np.ndarray, shard_base: int, range_span: int,
-                theta0: float) -> tuple[np.ndarray, np.ndarray]:
+                theta0: float, n_query_terms: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     shard_end = shard_base + doc_lens.size
     topk = _TopK(k, theta0)
+    if algorithm in ("ranked_and", "block_max_ranked_and"):
+        # conjunction: a term absent from this shard empties the whole shard
+        if n_query_terms is not None and len(runs) < n_query_terms:
+            return topk.docs, topk.scores
     if algorithm == "ranked_or":
         # exhaustive disjunction: one pass, no pruning
         all_docs = np.unique(np.concatenate([r.decode_all()[0] for r in runs]))
@@ -251,6 +272,17 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
             for run in runs:
                 bound += run.doc_block_ub(cand)
             cand = cand[bound >= prune]
+        elif algorithm in ("ranked_and", "block_max_ranked_and"):
+            cand = _conjunction_docs(runs, lo, hi)
+            if cand.size == 0:
+                continue
+            if algorithm == "block_max_ranked_and":
+                # block-level bound before scoring
+                # (block_max_ranked_and_query.hpp semantics)
+                bound = np.zeros(cand.size, dtype=F32)
+                for run in runs:
+                    bound += run.doc_block_ub(cand)
+                cand = cand[bound >= prune]
         elif algorithm == "maxscore":
             # non-essential prefix (ascending ub) with cum-ub strictly below
             # theta can never alone lift a doc past the threshold
@@ -297,11 +329,13 @@ def make_query_terms_df(spark, queries: list[str], cfg: IndexConfig):
 def topk_search(index, queries: list[str] | object, k: int = 10,
                 algorithm: str = "maxscore", weighted: bool = False,
                 range_span: int = 16384,
-                thresholds: dict[str, float] | None = None):
+                thresholds: dict[str, float] | None = None,
+                with_urls: bool = True):
     """Run BM25 (or configured scorer) top-k retrieval.
 
     queries: raw query lines or a (qid, term, weight) DataFrame.
-    Returns DataFrame (qid, doc_id, url, score, rank).
+    Returns DataFrame (qid, doc_id, url, score, rank); with_urls=False skips
+    the doclex join (one fewer join per query — latency path).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -318,8 +352,15 @@ def topk_search(index, queries: list[str] | object, k: int = 10,
     # unknown terms are dropped by the inner join
     # (reference query_parser.cpp:33-38)
     q = qterms.join(index.lexicon.select("term", "term_id", "df", "cf"), "term")
+    # conjunction algorithms need the per-query term count to empty shards
+    # that lack one of the terms
+    q = q.withColumn(
+        "n_query_terms",
+        F.count("*").over(W.partitionBy("qid")).cast("int"))
+    # the query side is small by construction: broadcast it so the postings
+    # table is never shuffled (scan + broadcast-hash-join + partial prune)
     joined = (
-        q.join(index.postings, "term_id")
+        F.broadcast(q).join(index.postings, "term_id")
         .join(index.shards.select("shard_id", "base_doc", "doc_lens")
               .withColumnRenamed("base_doc", "shard_base"), "shard_id")
     )
@@ -337,7 +378,8 @@ def topk_search(index, queries: list[str] | object, k: int = 10,
         ]
         docs, scores = _run_kernel(
             algorithm, runs, k, scorer, stats, doc_lens, shard_base,
-            range_span, float(thr.get(qid, 0.0)))
+            range_span, float(thr.get(qid, 0.0)),
+            n_query_terms=int(pdf["n_query_terms"].iat[0]))
         return pd.DataFrame({
             "qid": np.repeat(qid, docs.size),
             "doc_id": docs,
@@ -348,11 +390,75 @@ def topk_search(index, queries: list[str] | object, k: int = 10,
         kernel, schema=TOPK_PARTIAL_SCHEMA)
 
     w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    ranked = (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .join(index.docs.select("doc_id", "url"), "doc_id")
+    )
+    if not with_urls:
+        return ranked.select("qid", "doc_id", "score", "rank")
+    return (
+        ranked.join(index.docs.select("doc_id", "url"), "doc_id")
         .select("qid", "doc_id", "url", "score", "rank")
+    )
+
+
+def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k1: float = 0.9, b: float = 0.4,
+                        cfg: IndexConfig | None = None):
+    """Pure-DataFrame exhaustive BM25 top-k over raw documents — the
+    reference's ranked_or_taat (ranked_or_taat_query.hpp:9-37) expressed as
+    Spark's natural groupBy(doc).sum -> window top-k shape, entirely in
+    built-in functions (whole-stage codegen, no UDF, no index needed).
+
+    Double precision throughout: this is the cross-engine (DuckDB) oracle
+    path; the float32 reference-faithful path is the index + kernel
+    executors. Ranking is on round(score, 6) with doc-asc ties so both
+    engines agree on near-equal sums."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import english_tokens_col
+
+    cfg = cfg or IndexConfig()
+    spark = docs_df.sparkSession
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    stats = docs_df.select(
+        F.count("*").alias("n")).collect()[0]
+    n_docs = int(stats["n"])
+    total = doc_len.agg(F.sum("dl")).collect()[0][0] or 0
+    avg_len = float(total) / n_docs if n_docs else 1.0
+
+    qrows = [(qid, term) for qid, term, _ in
+             analyze_query_terms(queries, cfg)]
+    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+
+    idf = (
+        F.greatest(F.lit(1e-6),
+                   F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5)))
+        * F.lit(1.0 + k1)
+    )
+    part = F.col("tf") / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.lit(avg_len)))
+    scored = (
+        qdf.join(tf, "term").join(doc_len, "doc_id").join(df_t, "term")
+        .select("qid", "doc_id", (idf * part).alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "score", "rank")
     )
 
 

@@ -54,37 +54,41 @@ class InvertedIndex:
 
 
 def dense_ids(df, order_col: str, id_col: str, num_partitions: int | None = None):
-    """Assign dense 0..N-1 IDs in global `order_col` order, scalably:
-    range-partition, rank within partitions, then offset by partition
-    counts — no single-partition global window."""
-    from pyspark.sql import Window as W
+    """Assign dense 0..N-1 IDs in global `order_col` order, scalably: one
+    range-partitioning shuffle + partition-local sort, then arithmetic on
+    monotonically_increasing_id (pid in the upper bits, per-partition row
+    number in the lower 33) offset by collected per-partition counts.
+
+    No global window, and — unlike a window over spark_partition_id — no
+    second shuffle of the (potentially wide) payload columns."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
+    mask = (1 << 33) - 1
     arranged = (
         df.repartitionByRange(parts, order_col)
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions(order_col)
+        .withColumn("_mono", F.monotonically_increasing_id())
         .persist()
     )
     counts = (
-        arranged.groupBy("_pid").count()
-        .orderBy("_pid")
-        .collect()
+        arranged.select(F.shiftright("_mono", 33).alias("_pid"))
+        .groupBy("_pid").count().orderBy("_pid").collect()
     )
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["_pid"]] = acc
+    offsets, acc = [], 0
+    for row in counts:  # range partitions are key-ordered, so pid order
+        offsets.append((int(row["_pid"]), acc))  # == global key order
         acc += row["count"]
-    offsets_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long")
-    w = W.partitionBy("_pid").orderBy(order_col)
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)],
+                                       "_pid long, _offset long")
     out = (
         arranged
-        .withColumn("_rank", F.row_number().over(w))
+        .withColumn("_pid", F.shiftright("_mono", 33))
         .join(F.broadcast(offsets_df), "_pid")
-        .withColumn(id_col, F.col("_offset") + F.col("_rank") - 1)
-        .drop("_pid", "_rank", "_offset")
+        .withColumn(id_col,
+                    F.col("_offset") + (F.col("_mono").bitwiseAND(F.lit(mask))))
+        .drop("_pid", "_mono", "_offset")
     )
     return out, arranged
 
@@ -108,39 +112,53 @@ def extract_pages(pages_df, cfg: IndexConfig = DEFAULT_CONFIG,
     return df.select("url", _extract(F.col("html")).alias("text"))
 
 
-TOKENS_SCHEMA = "doc_id long, doc_len int, term string, tf int"
+TOKENS_SCHEMA = ("doc_id long, url string, doc_len int, "
+                 "terms array<string>, tfs array<int>")
 
 
-def doc_term_counts(docs_with_ids, cfg: IndexConfig):
-    """(doc_id, text) -> (doc_id, doc_len, term, tf): tokenize and count
-    per-doc in one Arrow pass — the per-batch forward index + run-length
-    count of reference src/invert.cpp:43-69 without materializing token
-    streams through a shuffle."""
+def doc_term_counts(docs_with_ids, cfg: IndexConfig,
+                    html_col: str | None = None):
+    """(doc_id, url, text|html) -> one row per doc with distinct terms and
+    their counts as compact arrays — the per-batch forward index +
+    run-length count of reference src/invert.cpp:43-69 fused (optionally
+    with HTML extraction) into a single Arrow pass. One row per doc keeps
+    the Python->Arrow boundary cheap; the (term, tf) explode happens
+    JVM-side afterwards."""
+    from collections import Counter
+
     analyze = make_analyzer(cfg)
+    use_html = html_col is not None
+    src_col = html_col if use_html else "text"
 
     def run(batches):
-        for pdf in batches:
-            ids, lens, terms, tfs = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = analyze(text) if text else []
-                counts: dict[str, int] = {}
-                for t in toks:
-                    counts[t] = counts.get(t, 0) + 1
-                k = len(counts)
-                ids.append(np.full(k, doc_id, dtype=np.int64))
-                lens.append(np.full(k, len(toks), dtype=np.int32))
-                terms.extend(counts.keys())
-                tfs.append(np.fromiter(counts.values(), dtype=np.int32, count=k))
-            if not ids:
-                continue
-            yield pd.DataFrame({
-                "doc_id": np.concatenate(ids),
-                "doc_len": np.concatenate(lens),
-                "term": terms,
-                "tf": np.concatenate(tfs),
-            })
+        from pisa_spark.functions.text import strip_html, strip_http_headers
 
-    return docs_with_ids.select("doc_id", "text").mapInPandas(run, TOKENS_SCHEMA)
+        for pdf in batches:
+            rows = []
+            for doc_id, url, payload in zip(pdf["doc_id"], pdf["url"],
+                                            pdf[src_col]):
+                if use_html:
+                    if payload is None:
+                        text = ""
+                    else:
+                        if isinstance(payload, (bytes, bytearray)):
+                            payload = bytes(payload).decode(
+                                "utf-8", errors="replace")
+                        text = strip_html(strip_http_headers(payload))
+                else:
+                    text = payload
+                toks = analyze(text) if text else []
+                counts = Counter(toks)
+                rows.append((doc_id, url, len(toks),
+                             list(counts.keys()),
+                             np.fromiter(counts.values(), dtype=np.int32,
+                                         count=len(counts))))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "url", "doc_len", "terms", "tfs"])
+
+    cols = ["doc_id", "url", src_col]
+    return docs_with_ids.select(*cols).mapInPandas(run, TOKENS_SCHEMA)
 
 
 def _f32(x: float) -> float:
@@ -149,11 +167,14 @@ def _f32(x: float) -> float:
 
 def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                 out_dir: str | None = None, n_buckets: int = 8,
-                url_col: str = "url", text_col: str = "text") -> InvertedIndex:
-    """Build the full index from a (url, text) DataFrame.
+                url_col: str = "url", text_col: str = "text",
+                html_col: str | None = None) -> InvertedIndex:
+    """Build the full index from a (url, text) or (url, html) DataFrame.
 
-    With out_dir set, every stage checkpoints through a BuildManifest and a
-    rerun resumes, skipping completed artifacts/buckets.
+    With html_col set, extraction is fused into the tokenize pass (one
+    Python/Arrow boundary for the whole scalar layer). With out_dir set,
+    every stage checkpoints through a BuildManifest and a rerun resumes,
+    skipping completed artifacts/buckets.
     """
     from pyspark.sql import functions as F
 
@@ -161,35 +182,35 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     manifest = BuildManifest(out_dir) if out_dir else None
     t_start = time.time()
 
-    src = docs_df.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
+    payload = html_col if html_col else text_col
+    src = docs_df.select(F.col(url_col).alias("url"),
+                         F.col(payload).alias(payload if html_col else "text"))
 
-    # ---- stage: docs (dense URL-ordered docIDs + doc lengths)
+    # ---- stage: docs (dense URL-ordered docIDs) + fused extract/tokenize.
+    # dense_ids range-partitions on the slim url key (the payload column is
+    # carried through the one shuffle but never evaluated by a UDF before
+    # it, so the range-sampling pass stays cheap).
     if manifest and manifest.done("docs") and manifest.done("doc_terms"):
         docs = manifest.read_df(spark, "docs")
         doc_terms = manifest.read_df(spark, "doc_terms")
         cached = None
     else:
         with_ids, cached = dense_ids(src, "url", "doc_id")
-        doc_terms_raw = doc_term_counts(with_ids, cfg)
+        doc_terms_raw = doc_term_counts(with_ids, cfg, html_col=html_col)
         if manifest:
             manifest.write_df("doc_terms", doc_terms_raw)
             doc_terms = manifest.read_df(spark, "doc_terms")
         else:
             doc_terms = doc_terms_raw.persist()
-        docs_raw = (
-            with_ids.select("doc_id", "url")
-            .join(
-                doc_terms.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len")),
-                "doc_id", "left")
-            .fillna({"doc_len": 0})
-            .withColumn("shard_id",
-                        (F.col("doc_id") / F.lit(cfg.shard_span)).cast("long"))
-        )
+        docs_raw = doc_terms.select(
+            "doc_id", "url", "doc_len",
+            (F.col("doc_id") / F.lit(cfg.shard_span)).cast("long")
+            .alias("shard_id"))
         if manifest:
             manifest.write_df("docs", docs_raw)
             docs = manifest.read_df(spark, "docs")
         else:
-            docs = docs_raw.persist()
+            docs = docs_raw
 
     # ---- stage: collection stats (wand_data.hpp:52-60 semantics)
     if manifest and manifest.state["stats"]:
@@ -208,12 +229,22 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         if manifest:
             manifest.set_stats(stats)
 
+    # flat forward index: (doc_id, doc_len, term, tf) — JVM-side explode of
+    # the compact per-doc arrays (map_to_postings, reference invert.cpp:43-53)
+    flat_terms = doc_terms.select(
+        "doc_id", "doc_len",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("z")
+    ).select(
+        "doc_id", "doc_len",
+        F.col("z.terms").alias("term"),
+        F.col("z.tfs").cast("long").alias("tf"))
+
     # ---- stage: lexicon (sorted distinct terms -> dense term_ids, like
     # fwd.terms; reference src/forward_index_builder.cpp:168-177)
     if manifest and manifest.done("lexicon_base"):
         lexicon_base = manifest.read_df(spark, "lexicon_base")
     else:
-        terms_distinct = doc_terms.select("term").distinct()
+        terms_distinct = flat_terms.select("term").distinct()
         lex_with_ids, lex_cache = dense_ids(terms_distinct, "term", "term_id")
         if manifest:
             manifest.write_df("lexicon_base", lex_with_ids)
@@ -221,12 +252,11 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         else:
             lexicon_base = lex_with_ids.persist()
 
-    # ---- stage: tf table (term remap, reference :176-194) + doc_len join
+    # ---- stage: tf table (term remap, reference :176-194)
     tf_full = (
-        doc_terms
+        flat_terms
         .join(lexicon_base, "term")
-        .select("term_id", "doc_id", F.col("tf").cast("long").alias("tf"),
-                "doc_len")
+        .select("term_id", "doc_id", "tf", "doc_len")
     )
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
     term_stats = (

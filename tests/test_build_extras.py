@@ -1,0 +1,145 @@
+"""Readers, reordering, checkpoint/resume, and encode internals."""
+
+import json
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pisa_spark.config import IndexConfig
+from pisa_spark.operators import codecs
+from pisa_spark.operators.postings import _encode_batch, _group_carry
+from pisa_spark.operators.reorder import (
+    compressed_size,
+    random_mapping,
+    reorder_index,
+    url_mapping,
+)
+from pisa_spark.operators.topk import topk_search
+from pisa_spark.plans.build import build_index, extract_pages
+from pisa_spark.sources import webtext
+from pisa_spark.sources.readers import read_jsonl, read_plaintext
+
+CACHE = "/root/repo/.cache/test_extras"
+
+
+def test_read_plaintext(spark, tmp_path=None):
+    p = f"{CACHE}/plain.txt"
+    import os
+
+    os.makedirs(CACHE, exist_ok=True)
+    with open(p, "w") as f:
+        f.write("doc1 hello world\ndoc2 second document text\ndoc3\n")
+    out = {r.url: r.text for r in read_plaintext(spark, p).collect()}
+    assert out == {"doc1": "hello world", "doc2": "second document text",
+                   "doc3": ""}
+
+
+def test_read_jsonl(spark):
+    p = f"{CACHE}/docs.jsonl"
+    import os
+
+    os.makedirs(CACHE, exist_ok=True)
+    with open(p, "w") as f:
+        f.write('{"title": "t1", "content": "body one", "url": "u1"}\n')
+        f.write('{"title": "t2", "content": "body two"}\n')
+    out = {r.url: r.text for r in read_jsonl(spark, p).collect()}
+    assert out == {"u1": "body one", "t2": "body two"}
+
+
+@pytest.fixture(scope="module")
+def small_index(spark):
+    cfg = IndexConfig(shard_span=64)
+    pdf = webtext.generate_pandas(150, seed=13)
+    return build_index(extract_pages(spark.createDataFrame(pdf), cfg), cfg)
+
+
+def test_reorder_random_preserves_results(spark, small_index):
+    """Reordering permutes docIDs but must not change ranked URL output
+    (reference: encodings/orderings are result-invariant)."""
+    mapping = random_mapping(small_index.docs, seed=7)
+    re_idx = reorder_index(small_index, mapping)
+    qs = webtext.synth_queries(10, seed=29)
+    a = topk_search(small_index, qs, k=5).toPandas()
+    b = topk_search(re_idx, qs, k=5).toPandas()
+    ka = sorted(map(tuple, a[["qid", "url", "rank"]].values.tolist()))
+    kb = sorted(map(tuple, b[["qid", "url", "rank"]].values.tolist()))
+    assert ka == kb
+
+
+def test_url_order_compresses_better_than_random(spark, small_index):
+    """URL-ordered docIDs give smaller gap encodings than a random
+    permutation (the point of reorder-by-URL, reordering.md:46-66)."""
+    rand_idx = reorder_index(small_index, random_mapping(small_index.docs, 7))
+    url_size = compressed_size(small_index)  # built URL-ordered by default
+    rand_size = compressed_size(rand_idx)
+    assert url_size <= rand_size
+
+
+def test_checkpoint_resume_skips_completed(spark):
+    out = f"{CACHE}/resume_idx"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = IndexConfig(shard_span=64)
+    pdf = webtext.generate_pandas(120, seed=13)
+    docs = extract_pages(spark.createDataFrame(pdf), cfg)
+    build_index(docs, cfg, out_dir=out, n_buckets=4)
+    m1 = json.load(open(f"{out}/manifest.json"))
+    build_index(docs, cfg, out_dir=out, n_buckets=4)
+    m2 = json.load(open(f"{out}/manifest.json"))
+    assert all(m2["completed"][k]["ts"] == m1["completed"][k]["ts"]
+               for k in m1["completed"])
+    # killed-run simulation: one bucket missing -> only it rebuilds
+    del m2["completed"]["postings/bucket=2"]
+    shutil.rmtree(f"{out}/postings/bucket=2")
+    json.dump(m2, open(f"{out}/manifest.json", "w"))
+    idx = build_index(docs, cfg, out_dir=out, n_buckets=4)
+    m3 = json.load(open(f"{out}/manifest.json"))
+    assert m3["completed"]["postings/bucket=0"]["ts"] == m1["completed"]["postings/bucket=0"]["ts"]
+    assert m3["completed"]["postings/bucket=2"]["ts"] != m1["completed"]["postings/bucket=2"]["ts"]
+    assert idx.postings.count() > 0
+
+
+def test_group_carry_never_splits_groups():
+    """Groups spanning Arrow batch boundaries must encode once."""
+    rows = []
+    for term in range(5):
+        for doc in range(0, 40, 2):
+            rows.append((0, term, doc, 1, 10))
+    pdf = pd.DataFrame(rows, columns=["shard_id", "term_id", "doc_id", "tf",
+                                      "doc_len"])
+    batches = [pdf.iloc[:17], pdf.iloc[17:48], pdf.iloc[48:]]
+    seen = []
+
+    def fake_encode(p):
+        groups = p.groupby(["shard_id", "term_id"]).size()
+        seen.extend(groups.index.tolist())
+        return p.iloc[:0]
+
+    list(_group_carry(iter(batches), fake_encode))
+    assert sorted(seen) == [(0, t) for t in range(5)]
+    assert len(seen) == len(set(seen))  # each group exactly once
+
+
+def test_encode_batch_block_layout():
+    cfg = IndexConfig(shard_span=1000, block_size=4)
+    from pisa_spark.functions.scoring import make_scorer
+
+    stats = {"num_docs": 100, "avg_len": 50.0, "collection_len": 5000}
+    docs = np.array([3, 10, 11, 40, 77, 200, 340, 341, 342], dtype=np.int64)
+    pdf = pd.DataFrame({
+        "shard_id": 0, "term_id": 9, "doc_id": docs,
+        "tf": np.arange(1, 10), "doc_len": 50,
+    })
+    out = _encode_batch(pdf, cfg, stats, make_scorer("bm25"))
+    row = out.iloc[0]
+    assert row.n == 9
+    assert row.base_doc == -1
+    assert list(row.block_last_docs) == [40, 341, 342]  # blocks of 4
+    dec = codecs.decode_gap_stream(bytes(row.docs_bin), -1, "varint", 9)
+    assert (dec == docs).all()
+    # block byte offsets let a single block decode independently
+    offs = list(row.block_doc_offs) + [len(row.docs_bin)]
+    blk1 = codecs.decode_gap_stream(
+        bytes(row.docs_bin[offs[1]:offs[2]]), 40, "varint", 4)
+    assert (blk1 == docs[4:8]).all()

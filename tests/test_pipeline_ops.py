@@ -1,0 +1,137 @@
+"""Training-pipeline operators (dedup / similarity / textstats / multimodal)
+vs brute-force references on the driver-provided documents/embeddings tables."""
+
+import itertools
+
+import duckdb
+import numpy as np
+import pytest
+
+from pisa_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def doc_pdf(sf_dir):
+    return duckdb.sql(
+        f"select * from read_parquet('{sf_dir}/documents.parquet')").df()
+
+
+def test_token_stats_vs_python(documents, doc_pdf):
+    from pisa_spark.functions.tokenize import english_tokens
+
+    got = {r.doc_id: (r.n_tokens, r.n_unique)
+           for r in textstats.token_stats(documents).collect()}
+    for row in doc_pdf.head(50).itertuples():
+        toks = [t.lower() for t in english_tokens(row.text)]
+        assert got[row.doc_id] == (len(toks), len(set(toks))), row.doc_id
+
+
+def test_language_id_shapes(documents):
+    out = textstats.language_id(documents).toPandas()
+    assert set(out.lang_pred.unique()) <= {"en", "und"}
+    assert len(out) == documents.count()
+
+
+def test_quality_and_fingerprint_deterministic(documents):
+    q1 = textstats.quality_score(documents).toPandas().sort_values("doc_id")
+    q2 = textstats.quality_score(documents).toPandas().sort_values("doc_id")
+    assert (q1.quality.values == q2.quality.values).all()
+    fp = textstats.fingerprint(documents).toPandas()
+    assert fp.fingerprint.str.len().eq(32).all()
+
+
+def test_exact_duplicates_vs_python(documents, doc_pdf):
+    got = {r.text_hash: r.n_docs
+           for r in dedup.exact_duplicates(documents).collect()}
+    counts = doc_pdf.groupby("text").doc_id.count()
+    expected_groups = int((counts > 1).sum())
+    assert len(got) == expected_groups
+
+
+def test_minhash_lsh_finds_exact_dups(documents, doc_pdf):
+    """Identical texts always share every band — LSH must surface them."""
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup.minhash_lsh_pairs(documents).collect()}
+    dup_groups = doc_pdf.groupby("text").doc_id.apply(list)
+    expected = set()
+    for ids in dup_groups:
+        if len(ids) > 1:
+            for a, b in itertools.combinations(sorted(ids), 2):
+                expected.add((a, b))
+    missing = {p for p in expected if p not in pairs}
+    assert not missing
+
+
+def test_ngram_jaccard_exact_dups_have_jaccard_one(documents, doc_pdf):
+    out = dedup.ngram_jaccard_pairs(documents, threshold=0.99).toPandas()
+    dup_groups = [sorted(ids) for ids in
+                  doc_pdf.groupby("text").doc_id.apply(list) if len(ids) > 1]
+    got = {(r.doc_a, r.doc_b) for r in out.itertuples()}
+    for ids in dup_groups:
+        for a, b in itertools.combinations(ids, 2):
+            assert (a, b) in got
+
+
+def test_simhash_pairs_symmetric_for_dups(documents, doc_pdf):
+    pairs = dedup.simhash_pairs(documents, max_hamming=0).toPandas()
+    dup_groups = [sorted(ids) for ids in
+                  doc_pdf.groupby("text").doc_id.apply(list) if len(ids) > 1]
+    got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    for ids in dup_groups:
+        for a, b in itertools.combinations(ids, 2):
+            assert (a, b) in got
+
+
+def test_cosine_topk_vs_numpy(embeddings, sf_dir):
+    qids = [0, 1, 2]
+    got = similarity.cosine_topk(embeddings, qids, k=5).toPandas()
+    pdf = duckdb.sql(
+        f"select * from read_parquet('{sf_dir}/embeddings.parquet')").df()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for q in qids:
+        qi = np.where(ids == q)[0][0]
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted((i for i in range(len(ids)) if ids[i] != q),
+                       key=lambda i: (-round(cos[i], 6), ids[i]))[:5]
+        expect = [ids[i] for i in order]
+        g = got[got.qid == q].sort_values("rank")
+        assert list(g.vid) == list(expect), q
+
+
+def test_lsh_ann_recall(embeddings):
+    qids = list(range(8))
+    exact = similarity.cosine_topk(embeddings, qids, k=5).toPandas()
+    ann = similarity.lsh_ann_topk(embeddings, qids, k=5, n_planes=6,
+                                  probes=4, multiprobe=1).toPandas()
+    hits = tot = 0
+    for q in qids:
+        e = set(exact[exact.qid == q].vid)
+        a = set(ann[ann.qid == q].vid)
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.6  # multiprobe LSH on near-random vectors
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 48)
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == 48
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats.feature)
+    norms = [float(np.linalg.norm(f)) for f in feats.feature]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    frames = multimodal.frame_sample_plan(media).toPandas()
+    assert (frames.frame_ts_ms >= 0).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, deterministic_features=False)
