@@ -26,10 +26,13 @@ Scale design (the part the reference, a single-node engine, never needed):
   scorers (qld/pl2/dph) get full-score block maxima via a term-stats join.
 
 Encoded schema (one row per shard × term):
-    shard_id long, term_id long, n long, base_doc long, last_doc long,
-    block_last_docs array<long>, block_doc_offs array<int>,
+    shard_id long, term_id long, n long, sum_tf long, base_doc long,
+    last_doc long, block_last_docs array<long>, block_doc_offs array<int>,
     block_tf_offs array<int>, block_max_part array<float>,
     docs_bin binary, tfs_bin binary
+
+`n` and `sum_tf` let per-term df/cf/max-score stats aggregate from these
+rows (one per shard × term) instead of the ~100× larger flat postings.
 """
 
 from __future__ import annotations
@@ -44,7 +47,8 @@ from pisa_spark.functions.scoring import make_scorer
 from pisa_spark.operators import codecs
 
 ENCODED_SCHEMA = (
-    "shard_id long, term_id long, n long, base_doc long, last_doc long, "
+    "shard_id long, term_id long, n long, sum_tf long, base_doc long, "
+    "last_doc long, "
     "block_last_docs array<long>, block_doc_offs array<int>, "
     "block_tf_offs array<int>, block_max_part array<float>, "
     "docs_bin binary, tfs_bin binary"
@@ -103,6 +107,7 @@ def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
     rows = []
     doc_mv = memoryview(doc_bytes) if doc_bytes is not None else None
     tf_mv = memoryview(tf_bytes)
+    tf_sums = dict(zip(starts, np.add.reduceat(tfs, starts)))
     for s, e in zip(starts, ends):
         n = e - s
         g_docs = docs[s:e]
@@ -128,13 +133,14 @@ def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
             d_bin = b"".join(chunks)
             d_offs = np.array(d_offs, dtype=np.int32)
         rows.append((
-            int(shard[s]), int(term[s]), int(n), int(base[s]), int(g_docs[-1]),
+            int(shard[s]), int(term[s]), int(n), int(tf_sums[s]),
+            int(base[s]), int(g_docs[-1]),
             blk_last.tolist(), d_offs.tolist(), tf_offs.tolist(),
             blk_max.tolist(),
             d_bin, bytes(tf_mv[tf_byte_off[s]:tf_byte_off[e]]),
         ))
     return pd.DataFrame(rows, columns=[
-        "shard_id", "term_id", "n", "base_doc", "last_doc",
+        "shard_id", "term_id", "n", "sum_tf", "base_doc", "last_doc",
         "block_last_docs", "block_doc_offs", "block_tf_offs",
         "block_max_part", "docs_bin", "tfs_bin",
     ])

@@ -4,16 +4,26 @@ Spark-first re-expression of the reference pipeline
 parse_collection -> invert -> create_wand_data -> compress_inverted_index
 (docs/src/guide/indexing-pipeline.md):
 
-1. extract text from html (Arrow UDF; byte-identical invariant),
-2. dense docIDs by URL sort (doubles as the reorder-by-URL compression win,
-   docs/src/guide/reordering.md:46-66) — scalable range-partitioned
-   rank assignment, never a single-partition global window,
-3. tokenize + per-doc term counts inside one mapInPandas pass (the forward
-   index stays transient, as term strings, until the lexicon join —
-   reference builds batch-local dicts, src/forward_index_builder.cpp:209-273),
+1. extract text from html + tokenize + per-doc term counts in ONE
+   mapInPandas pass running directly on the table scan — the html payload
+   is never shuffled, and the forward index stays transient, as term
+   strings, until the lexicon join (the reference likewise keeps
+   batch-local dicts until merge, src/forward_index_builder.cpp:209-273),
+2. dense docIDs by global URL rank (doubles as the reorder-by-URL
+   compression win, docs/src/guide/reordering.md:46-66): URL range
+   boundaries are sampled from the RAW table's url column (a column-pruned
+   parquet scan — never re-running the tokenize UDF the way a
+   RangePartitioner sample of its output would), each tokenized row gets a
+   bucket id from those boundaries, one hash shuffle on the bucket id +
+   partition-local sort makes buckets contiguous and url-sorted, and
+   doc_id = bucket offset + (monotonic id - bucket's min monotonic id).
+   No global window, no wide-payload range shuffle,
+3. collection stats fused into the same per-bucket aggregation job,
 4. lexicon = distinct terms, dense term_ids (sorted, like fwd.terms),
 5. postings = encode_postings (doc-sharded, block-encoded, block-max'd),
-6. doc/term/collection stats (the WAND data of wand_data.hpp:36-115).
+6. per-term stats (df, cf, max score) aggregated from the ENCODED posting
+   rows (one row per shard x term) rather than the 100x larger flat
+   postings — the WAND data of wand_data.hpp:36-115.
 
 All stages optionally checkpoint through a BuildManifest for resume.
 """
@@ -112,18 +122,18 @@ def extract_pages(pages_df, cfg: IndexConfig = DEFAULT_CONFIG,
     return df.select("url", _extract(F.col("html")).alias("text"))
 
 
-TOKENS_SCHEMA = ("doc_id long, url string, doc_len int, "
+TOKENS_SCHEMA = ("url string, doc_len int, "
                  "terms array<string>, tfs array<int>")
 
 
-def doc_term_counts(docs_with_ids, cfg: IndexConfig,
+def doc_term_counts(pages_df, cfg: IndexConfig,
                     html_col: str | None = None):
-    """(doc_id, url, text|html) -> one row per doc with distinct terms and
-    their counts as compact arrays — the per-batch forward index +
-    run-length count of reference src/invert.cpp:43-69 fused (optionally
-    with HTML extraction) into a single Arrow pass. One row per doc keeps
-    the Python->Arrow boundary cheap; the (term, tf) explode happens
-    JVM-side afterwards."""
+    """(url, text|html) -> one row per doc with distinct terms and their
+    counts as compact arrays — the per-batch forward index + run-length
+    count of reference src/invert.cpp:43-69 fused (optionally with HTML
+    extraction) into a single Arrow pass running straight on the table
+    scan. One row per doc keeps the Python->Arrow boundary cheap; the
+    (term, tf) explode happens JVM-side afterwards."""
     from collections import Counter
 
     analyze = make_analyzer(cfg)
@@ -135,8 +145,7 @@ def doc_term_counts(docs_with_ids, cfg: IndexConfig,
 
         for pdf in batches:
             rows = []
-            for doc_id, url, payload in zip(pdf["doc_id"], pdf["url"],
-                                            pdf[src_col]):
+            for url, payload in zip(pdf["url"], pdf[src_col]):
                 if use_html:
                     if payload is None:
                         text = ""
@@ -149,16 +158,92 @@ def doc_term_counts(docs_with_ids, cfg: IndexConfig,
                     text = payload
                 toks = analyze(text) if text else []
                 counts = Counter(toks)
-                rows.append((doc_id, url, len(toks),
+                rows.append((url, len(toks),
                              list(counts.keys()),
                              np.fromiter(counts.values(), dtype=np.int32,
                                          count=len(counts))))
             if rows:
                 yield pd.DataFrame(
-                    rows, columns=["doc_id", "url", "doc_len", "terms", "tfs"])
+                    rows, columns=["url", "doc_len", "terms", "tfs"])
 
-    cols = ["doc_id", "url", src_col]
-    return docs_with_ids.select(*cols).mapInPandas(run, TOKENS_SCHEMA)
+    return pages_df.select("url", src_col).mapInPandas(run, TOKENS_SCHEMA)
+
+
+# --------------------------------------------------- global rank assignment
+
+def _sample_cuts(df, col: str, parts: int, per_part: int = 48) -> list:
+    """parts-1 sorted range cut points for `col`, from a driver-side sample
+    (what RangePartitioner does, but reading ONLY `col` from `df` — so a
+    cheap column-pruned source can stand in for an expensive lineage)."""
+    if parts <= 1:
+        return []
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    frac = min(1.0, (parts * per_part * 1.2) / cnt)
+    vals = sorted(r[0] for r in df.select(col).sample(False, frac, seed=13)
+                  .collect() if r[0] is not None)
+    cuts: list = []
+    for i in range(1, parts):
+        c = vals[min(len(vals) - 1, (i * len(vals)) // parts)] if vals else None
+        if c is not None and (not cuts or c > cuts[-1]):
+            cuts.append(c)
+    return cuts
+
+
+def _bucket_expr(col: str, cuts: list):
+    """pid = number of cut points <= col — a chain of comparisons that
+    whole-stage codegen handles; no per-row Python, no extra shuffle."""
+    from pyspark.sql import functions as F
+
+    e = F.lit(0)
+    for c in cuts:
+        e = e + (F.col(col) >= F.lit(c)).cast("int")
+    return e.cast("long")
+
+
+def assign_rank_ids(df, order_col: str, id_col: str, cuts: list, parts: int,
+                    extra_aggs: list | None = None):
+    """Assign dense 0..N-1 ids in global `order_col` order without a global
+    window and without range-sampling `df`'s (possibly expensive) lineage:
+    bucket by the precomputed cut points, one hash shuffle on the bucket id,
+    partition-local sort, then id = bucket offset + (mono - bucket min mono).
+    Buckets are contiguous within a partition after the sort, so the
+    arithmetic holds even when several buckets hash into one partition.
+
+    Returns (with_ids, arranged_cached, meta_rows); meta_rows carries one
+    row per bucket including any `extra_aggs` (lets callers fuse their own
+    global stats into this job instead of running another)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    # DESER level: the columnar cache build for serialized levels pays a
+    # compression pass that contends badly at high task concurrency
+    # (measured: +15s on 300k docs at 16 cores, free at 4)
+    arranged = (
+        df.withColumn("_pid", _bucket_expr(order_col, cuts))
+        .repartition(parts, "_pid")
+        .sortWithinPartitions("_pid", order_col)
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    aggs = [F.count("*").alias("_n"), F.min("_mono").alias("_m0")]
+    aggs += list(extra_aggs or [])
+    meta = sorted(arranged.groupBy("_pid").agg(*aggs).collect(),
+                  key=lambda r: r["_pid"])
+    offsets, acc = [], 0
+    for r in meta:  # buckets are ordered by cut point, so pid order == key order
+        offsets.append((int(r["_pid"]), acc, int(r["_m0"])))
+        acc += int(r["_n"])
+    odf = spark.createDataFrame(offsets or [(0, 0, 0)],
+                                "_pid long, _off long, _m0 long")
+    out = (
+        arranged.join(F.broadcast(odf), "_pid")
+        .withColumn(id_col, F.col("_off") + F.col("_mono") - F.col("_m0"))
+        .drop("_pid", "_mono", "_off", "_m0")
+    )
+    return out, arranged, meta
 
 
 def _f32(x: float) -> float:
@@ -168,66 +253,75 @@ def _f32(x: float) -> float:
 def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                 out_dir: str | None = None, n_buckets: int = 8,
                 url_col: str = "url", text_col: str = "text",
-                html_col: str | None = None) -> InvertedIndex:
+                html_col: str | None = None,
+                eager: bool = False) -> InvertedIndex:
     """Build the full index from a (url, text) or (url, html) DataFrame.
 
     With html_col set, extraction is fused into the tokenize pass (one
     Python/Arrow boundary for the whole scalar layer). With out_dir set,
     every stage checkpoints through a BuildManifest and a rerun resumes,
-    skipping completed artifacts/buckets.
+    skipping completed artifacts/buckets. With eager=True every stage is
+    materialized inside this call and per-phase wall seconds are recorded
+    in stats["phase_seconds"] (build metrics, north-rule requirement).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     spark = docs_df.sparkSession
     manifest = BuildManifest(out_dir) if out_dir else None
     t_start = time.time()
+    phase_t = [time.time()]
+    phases: dict = {}
+
+    def _phase(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - phase_t[0], 3)
+        phase_t[0] = now
+
+    parts = spark.sparkContext.defaultParallelism
 
     payload = html_col if html_col else text_col
     src = docs_df.select(F.col(url_col).alias("url"),
                          F.col(payload).alias(payload if html_col else "text"))
 
-    # ---- stage: docs (dense URL-ordered docIDs) + fused extract/tokenize.
-    # dense_ids range-partitions on the slim url key (the payload column is
-    # carried through the one shuffle but never evaluated by a UDF before
-    # it, so the range-sampling pass stays cheap).
+    # ---- stage: fused extract+tokenize on the raw scan, then dense
+    # URL-ordered docIDs. URL cut points are sampled from the RAW input
+    # (column-pruned scan — the html payload is neither sampled nor
+    # shuffled; only the ~10x slimmer token arrays move).
     if manifest and manifest.done("docs") and manifest.done("doc_terms"):
         docs = manifest.read_df(spark, "docs")
         doc_terms = manifest.read_df(spark, "doc_terms")
-        cached = None
-    else:
-        with_ids, cached = dense_ids(src, "url", "doc_id")
-        doc_terms_raw = doc_term_counts(with_ids, cfg, html_col=html_col)
-        if manifest:
-            manifest.write_df("doc_terms", doc_terms_raw)
-            doc_terms = manifest.read_df(spark, "doc_terms")
-        else:
-            doc_terms = doc_terms_raw.persist()
-        docs_raw = doc_terms.select(
-            "doc_id", "url", "doc_len",
-            (F.col("doc_id") / F.lit(cfg.shard_span)).cast("long")
-            .alias("shard_id"))
-        if manifest:
-            manifest.write_df("docs", docs_raw)
-            docs = manifest.read_df(spark, "docs")
-        else:
-            docs = docs_raw
-
-    # ---- stage: collection stats (wand_data.hpp:52-60 semantics)
-    if manifest and manifest.state["stats"]:
         stats = manifest.state["stats"]
     else:
-        agg = docs.agg(
-            F.count("*").alias("n"), F.sum("doc_len").alias("total")).collect()[0]
-        num_docs = int(agg["n"])
-        collection_len = int(agg["total"] or 0)
+        cuts = _sample_cuts(docs_df.select(F.col(url_col).alias("url")),
+                            "url", parts)
+        _phase("url_cuts")
+        tokenized = doc_term_counts(src, cfg, html_col=html_col)
+        doc_terms, _tok_cache, meta = assign_rank_ids(
+            tokenized, "url", "doc_id", cuts, parts,
+            extra_aggs=[F.sum("doc_len").alias("_dl")])
+        # ---- collection stats, fused into the rank job
+        # (wand_data.hpp:52-60: m_avg_len = float(len / double(num_docs)))
+        _phase("tokenize_rank")
+        num_docs = sum(int(r["_n"]) for r in meta)
+        collection_len = sum(int(r["_dl"] or 0) for r in meta)
         stats = {
             "num_docs": num_docs,
             "collection_len": collection_len,
-            # reference: m_avg_len = float(collection_len / double(num_docs))
             "avg_len": _f32(collection_len / num_docs) if num_docs else 0.0,
         }
+        doc_terms = doc_terms.withColumn(
+            "shard_id",
+            (F.col("doc_id") / F.lit(cfg.shard_span)).cast("long"))
         if manifest:
             manifest.set_stats(stats)
+            manifest.write_df("doc_terms", doc_terms)
+            doc_terms = manifest.read_df(spark, "doc_terms")
+            _tok_cache.unpersist()
+        docs = doc_terms.select("doc_id", "url", "doc_len", "shard_id")
+        if manifest:
+            manifest.write_df("docs", docs)
+            docs = manifest.read_df(spark, "docs")
 
     # flat forward index: (doc_id, doc_len, term, tf) — JVM-side explode of
     # the compact per-doc arrays (map_to_postings, reference invert.cpp:43-53)
@@ -240,31 +334,40 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         F.col("z.tfs").cast("long").alias("tf"))
 
     # ---- stage: lexicon (sorted distinct terms -> dense term_ids, like
-    # fwd.terms; reference src/forward_index_builder.cpp:168-177)
+    # fwd.terms; reference src/forward_index_builder.cpp:168-177). The
+    # distinct-terms table is persisted first so cut-point sampling scans
+    # the (small) cache instead of re-running the distinct aggregation.
     if manifest and manifest.done("lexicon_base"):
         lexicon_base = manifest.read_df(spark, "lexicon_base")
     else:
-        terms_distinct = flat_terms.select("term").distinct()
-        lex_with_ids, lex_cache = dense_ids(terms_distinct, "term", "term_id")
+        terms_distinct = (flat_terms.select("term").distinct()
+                          .persist(StorageLevel.MEMORY_AND_DISK_DESER))
+        term_cuts = _sample_cuts(terms_distinct, "term", parts)
+        lex_with_ids, _lex_cache, _ = assign_rank_ids(
+            terms_distinct, "term", "term_id", term_cuts, parts)
         if manifest:
             manifest.write_df("lexicon_base", lex_with_ids)
             lexicon_base = manifest.read_df(spark, "lexicon_base")
+            _lex_cache.unpersist()
+            terms_distinct.unpersist()
         else:
-            lexicon_base = lex_with_ids.persist()
+            lexicon_base = lex_with_ids
+    _phase("lexicon_base")
 
     # ---- stage: tf table (term remap, reference :176-194)
     tf_full = (
         flat_terms
-        .join(lexicon_base, "term")
+        .join(lexicon_base.select("term", "term_id"), "term")
         .select("term_id", "doc_id", "tf", "doc_len")
     )
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
-    term_stats = (
-        tf_full.groupBy("term_id")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-    )
     if not scorer.separable:
-        tf_full = tf_full.join(term_stats, "term_id")
+        # non-separable scorers need df/cf at encode time (full-score block
+        # maxima); separable ones derive term stats from the encoded rows
+        term_stats_pre = (
+            tf_full.groupBy("term_id")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+        tf_full = tf_full.join(term_stats_pre, "term_id")
 
     # ---- stage: encoded postings (bucketed for per-partition resume)
     if manifest:
@@ -285,6 +388,9 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         postings = spark.read.parquet(*bucket_paths)
     else:
         postings = encode_postings(tf_full, cfg, stats).persist()
+        if eager:
+            postings.count()
+    _phase("encode_postings")
 
     # ---- stage: per-shard doc length arrays (wand_data doc_lens)
     if manifest and manifest.done("shards"):
@@ -305,20 +411,22 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             shards = manifest.read_df(spark, "shards")
         else:
             shards = shards_raw.persist()
+            if eager:
+                shards.count()
+    _phase("shards")
 
-    # ---- stage: lexicon with term stats + max scores (WAND term metadata)
+    # ---- stage: lexicon with term stats + max scores (WAND term metadata),
+    # aggregated from the encoded rows (one per shard x term) — ~100x fewer
+    # rows than the flat postings the reference streams twice
+    # (wand_data.hpp:64-115).
     if manifest and manifest.done("lexicon"):
         lexicon = manifest.read_df(spark, "lexicon")
     else:
-        max_part = (
-            postings.groupBy("term_id")
-            .agg(F.max(F.array_max("block_max_part")).alias("max_part"))
-        )
-        lex = (
-            lexicon_base.join(term_stats, "term_id").join(max_part, "term_id")
-        )
+        term_meta = postings.groupBy("term_id").agg(
+            F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
+            F.max(F.array_max("block_max_part")).alias("max_part"))
+        lex = lexicon_base.join(term_meta, "term_id")
         if scorer.separable:
-            k1, b_ = cfg.bm25_k1, cfg.bm25_b
             n_docs = stats["num_docs"]
 
             @F.pandas_udf("float")
@@ -334,13 +442,16 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             lexicon = manifest.read_df(spark, "lexicon")
         else:
             lexicon = lex.persist()
+            if eager:
+                lexicon.count()
+    _phase("lexicon_meta")
+    stats["phase_seconds"] = phases
+    stats["build_seconds"] = round(time.time() - t_start, 3)
 
     if manifest:
         manifest.record_metric("build_seconds", round(time.time() - t_start, 3))
         manifest.record_metric("num_docs", stats["num_docs"])
 
-    if cached is not None:
-        cached.unpersist()
     return InvertedIndex(docs=docs, lexicon=lexicon, postings=postings,
                          shards=shards, stats=stats, cfg=cfg)
 

@@ -15,6 +15,13 @@ def get_spark(app_name: str = "pisa-spark", cores: int | None = None,
 
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Shuffle/spill dir: tmpfs when available. A cluster deployment puts
+    # spark.local.dir on executor-local NVMe; on this single box every
+    # executor thread would otherwise contend on one ext4 journal.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None:
+        local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"
+    os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
@@ -26,7 +33,8 @@ def get_spark(app_name: str = "pisa-spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        .config("spark.local.dir", local_dir)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
