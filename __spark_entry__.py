@@ -321,6 +321,113 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_documents(spark, sf_dir))
 
 
+def _q_qld_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import qld_topk_dataframe
+
+    out = qld_topk_dataframe(_documents(spark, sf_dir), QUERY_SET, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_count_postings(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark import tools
+
+    idx = _get_index(spark, sf_dir)
+    return tools.count_postings(idx, QUERY_SET).select(
+        "qid", F.col("n_postings").cast("long").alias("n_postings"))
+
+
+def _q_bm25_thresholds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import bm25_topk_dataframe
+
+    out = bm25_topk_dataframe(_documents(spark, sf_dir), QUERY_SET, k=10)
+    return (out.filter(F.col("rank") == 10)
+            .select("qid", F.col("score").alias("threshold")))
+
+
+def _q_intersection_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark import tools
+
+    idx = _get_index(spark, sf_dir)
+    out = tools.intersection(idx, QUERY_SET)
+    return (out.filter(F.col("term_b").isNotNull())
+            .select("qid", "term_a", "term_b", "n_postings"))
+
+
+def _q_selective_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark import tools
+
+    idx = _get_index(spark, sf_dir)
+    return tools.selective_queries(idx, QUERY_SET, max_ratio=2.0).select(
+        "qid", F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("selectivity", 6).alias("selectivity"))
+
+
+def _q_trec_eval(spark, sf_dir):
+    """TREC-style metrics of the BM25 run against conjunction-derived qrels
+    (docs containing ALL query terms are 'relevant')."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.evaluate import evaluate_run
+    from pisa_spark.operators.textstats import english_tokens_col
+    from pisa_spark.operators.topk import bm25_topk_dataframe
+
+    docs = _documents(spark, sf_dir)
+    run = bm25_topk_dataframe(docs, QUERY_SET, k=10)
+    toks = docs.select(
+        "doc_id", F.explode(english_tokens_col(F.col("text"))).alias("term"))
+    dt = toks.distinct()
+    qv = spark.createDataFrame(
+        sorted({(q, t) for q, t, _ in _qterm_rows()}),
+        "qid string, term string")
+    qk = qv.join(dt.select("term").distinct(), "term").groupBy("qid").agg(
+        F.countDistinct("term").alias("nt"))
+    qrels = (qv.join(dt, "term").groupBy("qid", "doc_id")
+             .agg(F.countDistinct("term").alias("c"))
+             .join(qk, "qid").filter(F.col("c") == F.col("nt"))
+             .select("qid", "doc_id", F.lit(1).alias("rel")))
+    per_q = evaluate_run(run, qrels, k=10, key_col="doc_id")
+    return per_q.select(
+        "qid", F.col("num_rel").cast("long").alias("num_rel"),
+        F.col("num_rel_ret").cast("long").alias("num_rel_ret"),
+        "ap", "p_at_k", "ndcg_at_k", "recall_at_k")
+
+
+def _q_stemmed_token_stats(spark, sf_dir):
+    """Token stats after Porter2 stemming (rows-only: no SQL porter2)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.functions.tokenize import tokenize_df
+
+    cfg = IndexConfig(stemmer="porter2")
+    toks = tokenize_df(_documents(spark, sf_dir), cfg=cfg)
+    return toks.select(
+        "doc_id",
+        F.size("terms").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("terms")).cast("long").alias("n_stems"))
+
+
+def _q_taily_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark import tools
+
+    idx = _get_index(spark, sf_dir)
+    return tools.taily_stats(idx).select(
+        "term_id", "any", F.round("expected_value", 4).alias("ev"),
+        F.round("variance", 4).alias("var"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -343,6 +450,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
+        "qld_topk": _q_qld_topk,
+        "count_postings": _q_count_postings,
+        "bm25_thresholds": _q_bm25_thresholds,
+        "intersection_pairs": _q_intersection_pairs,
+        "selective_queries": _q_selective_queries,
+        "trec_eval": _q_trec_eval,
+        "stemmed_token_stats": _q_stemmed_token_stats,
+        "taily_stats": _q_taily_stats,
     }
 
 
@@ -454,7 +569,129 @@ select doc_id, n_tokens,
 from f
 """
 
+    qld_sql = f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+cft as (select term, count(*) as cf from toks group by term),
+stats as (select (select count(*) from toks)::double as c),
+qt as (select distinct qid, term from {qv}),
+scored as (
+  select qt.qid, tf.doc_id,
+         round(sum(greatest(0.0,
+                    ln(1000.0 / (dl.dl + 1000.0))
+                    + ln(1.0 + tf.tf * (stats.c / (1000.0 * cft.cf))))),
+               6) as score
+  from qt join tf using(term) join dl on tf.doc_id = dl.doc_id
+       join cft on tf.term = cft.term cross join stats
+  group by qt.qid, tf.doc_id)
+select qid, doc_id, score, rank from (
+  select *, row_number() over (partition by qid
+                               order by score desc, doc_id) as rank
+  from scored where score > 0) where rank <= 10
+"""
+
+    trec_eval_sql = f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+dft as (select term, count(*) as df from tf group by term),
+stats as (select (select count(*) from documents) as n,
+                 (select sum(dl) from dl)::double
+                 / (select count(*) from documents) as avg),
+qt as (select distinct qid, term from {qv}),
+scored as (
+  select qt.qid, tf.doc_id,
+         round(sum(greatest(1e-6,
+                    ln((stats.n::double - dft.df + 0.5) / (dft.df + 0.5)))
+                   * 1.9
+                   * (tf.tf / (tf.tf + 0.9 * (0.6 + 0.4 * dl.dl / stats.avg)))),
+               6) as score
+  from qt join tf using(term) join dl on tf.doc_id = dl.doc_id
+       join dft on tf.term = dft.term cross join stats
+  group by qt.qid, tf.doc_id),
+run as (
+  select qid, doc_id, rank from (
+    select *, row_number() over (partition by qid
+                                 order by score desc, doc_id) as rank
+    from scored) where rank <= 10),
+dt as (select distinct doc_id, term from toks),
+qk as (select qt.qid, count(distinct qt.term) as nt from qt
+       join (select distinct term from dt) kt on qt.term = kt.term
+       group by qt.qid),
+qrels as (
+  select qt.qid, dt.doc_id from qt join dt using(term) join qk on qt.qid = qk.qid
+  group by qt.qid, dt.doc_id, qk.nt having count(distinct qt.term) = qk.nt),
+nrel as (select qid, count(*) as num_rel from qrels group by qid),
+hits as (
+  select run.qid, run.doc_id, run.rank,
+         case when qrels.doc_id is not null then 1.0 else 0.0 end as is_rel
+  from run left join qrels on run.qid = qrels.qid and run.doc_id = qrels.doc_id),
+cum as (
+  select *, sum(is_rel) over (partition by qid order by rank
+                              rows unbounded preceding) as cum_rel
+  from hits),
+perq as (
+  select qid,
+         sum(is_rel * cum_rel / rank) as ap_num,
+         cast(sum(is_rel) as bigint) as num_rel_ret,
+         sum(is_rel / log2(rank + 1.0)) as dcg
+  from cum group by qid),
+ideal as (
+  select qid, sum(1.0 / log2(irank + 1.0)) as idcg from (
+    select qid, row_number() over (partition by qid order by doc_id) as irank
+    from qrels) where irank <= 10 group by qid)
+select nrel.qid, nrel.num_rel,
+       coalesce(perq.num_rel_ret, 0) as num_rel_ret,
+       round(coalesce(perq.ap_num, 0.0) / nrel.num_rel, 6) as ap,
+       round(coalesce(perq.num_rel_ret, 0) / 10.0, 6) as p_at_k,
+       round(coalesce(perq.dcg, 0.0) / coalesce(ideal.idcg, 1.0), 6)
+         as ndcg_at_k,
+       round(coalesce(perq.num_rel_ret, 0) / nrel.num_rel::double, 6)
+         as recall_at_k
+from nrel left join perq on nrel.qid = perq.qid
+          left join ideal on nrel.qid = ideal.qid
+"""
+
     return {
+        "qld_topk": qld_sql,
+        "count_postings": f"""
+with {_toks_cte()},
+dft as (select term, count(distinct doc_id) as df from toks group by term),
+qt as (select distinct qid, term from {qv})
+select qid, sum(df)::bigint as n_postings
+from qt join dft using(term) group by qid
+""",
+        "bm25_thresholds": (
+            f"select qid, score as threshold from ({bm25_sql}) "
+            f"where rank = 10"),
+        "intersection_pairs": f"""
+with {_toks_cte()},
+lexids as (select term, row_number() over (order by term) - 1 as term_id
+           from (select distinct term from toks)),
+dt as (select distinct doc_id, term from toks),
+qt as (select distinct qid, term from {qv}),
+qdt as (select qt.qid, lexids.term_id, dt.doc_id
+        from qt join dt using(term) join lexids on qt.term = lexids.term)
+select a.qid, a.term_id as term_a, b.term_id as term_b,
+       count(*)::bigint as n_postings
+from qdt a join b_alias b on a.qid = b.qid and a.doc_id = b.doc_id
+where a.term_id < b.term_id
+group by a.qid, a.term_id, b.term_id
+""".replace("join b_alias b", "join qdt b"),
+        "selective_queries": f"""
+with {_toks_cte()},
+dt as (select distinct doc_id, term from toks),
+qt as (select distinct qid, term from {qv}
+       where term in (select distinct term from toks)),
+orc as (select qt.qid, count(distinct dt.doc_id) as n_docs
+        from qt join dt using(term) group by qt.qid),
+nd as (select count(*)::double as n from documents)
+select qid, n_docs::bigint as n_docs,
+       round(n_docs / nd.n, 6) as selectivity
+from orc cross join nd where n_docs / nd.n < 2.0
+""",
+        "trec_eval": trec_eval_sql,
         "doc_lengths": (
             f"select doc_id, len(regexp_extract_all(text, '{_PAT_SQL}')) "
             f"as doc_len from documents"),

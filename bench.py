@@ -44,19 +44,26 @@ def _corpus(spark, n_docs: int, path: str):
 def build_bench(spark, n_docs: int) -> dict:
     from pisa_spark.config import IndexConfig
     from pisa_spark.plans.build import build_index
+    from pisa_spark.sources import webtext
+    from scripts.scaling_bench import warm_python_workers
 
     cfg = IndexConfig(shard_span=1 << 14)
     pages = _corpus(spark, n_docs,
                     f"/root/repo/.cache/bench_corpus_{n_docs}")
+    # untimed warm-up: python-worker pool + JIT over the same code paths
+    # (steady-state throughput, as on a long-lived cluster)
+    warm_python_workers(spark, spark.sparkContext.defaultParallelism)
+    midx = build_index(webtext.generate(spark, 2000, seed=7), cfg,
+                       html_col="html", eager=True)
+    spark.catalog.clearCache()
     t0 = time.time()
-    idx = build_index(pages, cfg, html_col="html")
-    idx.postings.count()  # materialize every stage
-    idx.lexicon.count()
+    idx = build_index(pages, cfg, html_col="html", eager=True)
     build_s = time.time() - t0
     return {
         "build_seconds": round(build_s, 3),
         "docs_per_sec": round(idx.stats["num_docs"] / build_s, 1),
         "num_docs": idx.stats["num_docs"],
+        "phase_seconds": idx.stats.get("phase_seconds", {}),
         "_index": idx,
     }
 
@@ -107,7 +114,7 @@ def entries_bench(spark, sf_dir: str) -> dict:
     return out
 
 
-def scaling_bench(n_docs: int, cores_lo: int = 8, cores_hi: int = 32) -> dict:
+def scaling_bench(n_docs: int, cores_lo: int = 2, cores_hi: int = 8) -> dict:
     """Same build at two parallelism levels on identical input — the
     sandbox stand-in for N vs 4N executors (BASELINE.json north rule)."""
     from pisa_spark.session import get_spark
@@ -135,12 +142,14 @@ def scaling_bench(n_docs: int, cores_lo: int = 8, cores_hi: int = 32) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from pisa_spark.session import get_spark
 
-    spark = get_spark(app_name="pisa-bench", cores=cpus)
+    spark = get_spark(app_name="pisa-bench", cores=cpus,
+                      extra={"spark.driver.extraJavaOptions":
+                             "-Xms18g -XX:+AlwaysPreTouch"})
     t_total = time.time()
 
     build = build_bench(spark, n_docs)

@@ -35,6 +35,11 @@ class IndexConfig:
     block_size: int = 128
     codec: str = "varint"  # "varint" | "ef"
 
+    # Linear score quantization (reference compress --quantize +
+    # scorer/quantized.hpp): scores quantized to ints replace frequencies
+    # in the encoded postings; query-side scoring becomes a pass-through.
+    quantize_bits: int | None = None
+
     # Doc-shard span: the docID space is partitioned into ranges of this many
     # docs; each (shard, term) posting run is therefore bounded by shard_span
     # postings. This is the skew bound: a stopword with df == N still never
@@ -45,6 +50,11 @@ class IndexConfig:
     # Terms with df above this fraction of num_docs get flagged heavy
     # (metrics + optional stopword-drop, reference wand_data.hpp:44).
     heavy_df_ratio: float = 0.25
+
+    # Vocabularies at or below this size take a driver-side sort for dense
+    # term-id assignment (one collect vs 4 distributed jobs); above it the
+    # distributed rank-assignment path runs (web-scale vocabularies).
+    lexicon_broadcast_max: int = 1 << 20
 
     def scorer_params(self) -> dict[str, float]:
         return {

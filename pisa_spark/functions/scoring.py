@@ -119,9 +119,23 @@ class Dph:
         )
 
 
+class Quantized:
+    """Identity scorer: the stored 'frequency' IS the pre-quantized score
+    (reference scorer/quantized.hpp:141-143)."""
+
+    separable = False
+    stats_free = True  # needs no df/cf at encode time
+
+    def score(self, freq, doc_len, *, df=None, num_docs=None, avg_len=None,
+              collection_len=None, cf=None) -> np.ndarray:
+        return np.asarray(freq, dtype=F32)
+
+
 def make_scorer(name: str, params: dict[str, float] | None = None):
     """Dispatch by name (reference scorer.hpp:24-48)."""
     params = params or {}
+    if name == "quantized":
+        return Quantized()
     if name == "bm25":
         return Bm25(params.get("k1", 0.9), params.get("b", 0.4))
     if name == "qld":

@@ -76,11 +76,11 @@ def _porter2():
 
         stemmer = snowballstemmer.stemmer("english")
         return stemmer.stemWords
-    except ImportError as exc:  # container has no stemmer lib; explicit gate
-        raise NotImplementedError(
-            "porter2 stemming requires PyStemmer or snowballstemmer; "
-            "not available in this environment"
-        ) from exc
+    except ImportError:
+        # pure-python fallback implementing the same published algorithm
+        from pisa_spark.functions.stemmer import stem_words
+
+        return stem_words
 
 
 def make_analyzer(cfg: IndexConfig):

@@ -90,7 +90,8 @@ def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
     else:
         part = scorer.score(
             tfs, doc_len,
-            df=pdf["df"].to_numpy(), cf=pdf["cf"].to_numpy(),
+            df=pdf["df"].to_numpy() if "df" in pdf else None,
+            cf=pdf["cf"].to_numpy() if "cf" in pdf else None,
             num_docs=stats["num_docs"], avg_len=stats["avg_len"],
             collection_len=stats["collection_len"],
         )
@@ -183,7 +184,8 @@ def encode_postings(tf_df, cfg: IndexConfig, stats: dict,
     from pyspark.sql import functions as F
 
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
-    if not scorer.separable and ("df" not in tf_df.columns or "cf" not in tf_df.columns):
+    if (not scorer.separable and not getattr(scorer, "stats_free", False)
+            and ("df" not in tf_df.columns or "cf" not in tf_df.columns)):
         raise ValueError("non-separable scorer requires df/cf columns in tf_df")
 
     with_shard = tf_df.withColumn(

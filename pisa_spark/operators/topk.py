@@ -58,8 +58,17 @@ F32 = np.float32
 
 TOPK_PARTIAL_SCHEMA = "qid string, doc_id long, score float"
 
-ALGORITHMS = ("ranked_or", "maxscore", "block_max_wand",
+ALGORITHMS = ("ranked_or", "maxscore", "wand", "block_max_wand",
               "ranked_and", "block_max_ranked_and")
+
+# TaaT variants share the exhaustive kernel: scoring every candidate in a
+# doc-range batch IS term-at-a-time accumulation over that range
+# (ranked_or_taat_query.hpp:9-37; the lazy accumulator is a single-node
+# memory trick with no distributed analogue).
+_ALGORITHM_ALIASES = {
+    "ranked_or_taat": "ranked_or",
+    "ranked_or_taat_lazy": "ranked_or",
+}
 
 
 class _TermRun:
@@ -132,6 +141,18 @@ class _TermRun:
         i0 = np.searchsorted(docs, lo, "left")
         i1 = np.searchsorted(docs, hi, "left")
         return docs[i0:i1], tfs[i0:i1]
+
+    def doc_term_ub(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Per-doc upper bound using the TERM max score for docs present in
+        this run (plain WAND semantics, wand_query.hpp:38-89: bounds come
+        from per-term max scores only, no block refinement)."""
+        docs, _ = self.decode_all()
+        idx = np.searchsorted(docs, doc_ids, "left")
+        idx_c = np.minimum(idx, max(docs.size - 1, 0))
+        present = (docs.size > 0) & (idx < docs.size) & (docs[idx_c] == doc_ids)
+        out = np.zeros(doc_ids.size, dtype=F32)
+        out[present] = self.ub
+        return out
 
     def doc_block_ub(self, doc_ids: np.ndarray) -> np.ndarray:
         """Per-doc upper bound from the block that would contain each doc
@@ -258,19 +279,28 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
         # exactly-tied doc's bound can round 1 ulp below theta. Final
         # filtering uses exact canonical scores, so results stay exact.
         prune = topk.theta * F32(1.0 - 1e-6)
-        ubs = np.array([run.range_ub(lo, hi) for run in runs], dtype=F32)
+        if algorithm == "wand":
+            # plain WAND: per-term bounds only (no block-max refinement)
+            ubs = np.array(
+                [run.ub if run.blocks_overlapping(lo, hi)[0]
+                 <= run.blocks_overlapping(lo, hi)[1] else F32(0.0)
+                 for run in runs], dtype=F32)
+        else:
+            ubs = np.array([run.range_ub(lo, hi) for run in runs], dtype=F32)
         order = np.argsort(ubs, kind="stable")
         if ubs.sum(dtype=F32) < prune or not (ubs > 0).any():
             continue  # whole range cannot beat theta (block-max range skip)
 
-        if algorithm == "block_max_wand":
+        if algorithm in ("block_max_wand", "wand"):
             cand = np.unique(np.concatenate(
                 [run.docs_in(lo, hi)[0] for run in runs]))
             if cand.size == 0:
                 continue
             bound = np.zeros(cand.size, dtype=F32)
             for run in runs:
-                bound += run.doc_block_ub(cand)
+                bound += (run.doc_block_ub(cand)
+                          if algorithm == "block_max_wand"
+                          else run.doc_term_ub(cand))
             cand = cand[bound >= prune]
         elif algorithm in ("ranked_and", "block_max_ranked_and"):
             cand = _conjunction_docs(runs, lo, hi)
@@ -340,6 +370,7 @@ def topk_search(index, queries: list[str] | object, k: int = 10,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    algorithm = _ALGORITHM_ALIASES.get(algorithm, algorithm)
     cfg = index.cfg
     spark = index.lexicon.sparkSession
     stats = dict(index.stats)
@@ -460,6 +491,51 @@ def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "score", "rank")
     )
+
+
+def qld_topk_dataframe(docs_df, queries: list[str], k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       mu: float = 1000.0, cfg: IndexConfig | None = None):
+    """Pure-DataFrame exhaustive QLD (Dirichlet LM) top-k — the reference
+    scorer/qld.hpp:25-38 formula max(0, ln(mu/(dl+mu)) + ln1p(f*C/(mu*cf)))
+    as built-in expressions. Double precision + round(6): the cross-engine
+    oracle path (the float32-faithful path is IndexConfig(scorer='qld') +
+    the kernel executors)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import english_tokens_col
+
+    cfg = cfg or IndexConfig()
+    spark = docs_df.sparkSession
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf_t = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    collection_len = toks.count()
+
+    qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
+    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+
+    part = (
+        F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+        + F.log1p(F.col("tf") * (F.lit(float(collection_len))
+                                 / (F.lit(mu) * F.col("cf"))))
+    )
+    scored = (
+        qdf.join(tf, "term").join(doc_len, "doc_id").join(cf_t, "term")
+        .select("qid", "doc_id",
+                F.greatest(F.lit(0.0), part).alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank"))
 
 
 def trec_output(results_df, run_id: str = "pisa_spark"):

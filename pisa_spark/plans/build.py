@@ -169,6 +169,56 @@ def doc_term_counts(pages_df, cfg: IndexConfig,
     return pages_df.select("url", src_col).mapInPandas(run, TOKENS_SCHEMA)
 
 
+def _quantize_postings(tf_full, cfg: IndexConfig, scorer, stats: dict):
+    """(term_id, doc_id, tf, doc_len) -> tf replaced by the linearly
+    quantized float32 score; returns (df, new cfg with scorer='quantized',
+    pass-through scorer). Costs one extra scoring pass to find the global
+    max score, like the reference's wand-data pre-pass."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from pisa_spark.functions.scoring import LinearQuantizer, make_scorer
+
+    term_stats_pre = (
+        tf_full.groupBy("term_id")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+    joined = tf_full.join(term_stats_pre, "term_id")
+    num_docs, avg_len = stats["num_docs"], stats["avg_len"]
+    collection_len = stats["collection_len"]
+
+    @F.pandas_udf("float")
+    def _score(tf: pd.Series, dl: pd.Series, df: pd.Series,
+               cf: pd.Series) -> pd.Series:
+        if scorer.separable:
+            idf = scorer.idf(df.to_numpy(), num_docs)
+            return pd.Series(
+                idf.astype(np.float32)
+                * scorer.doc_part(tf.to_numpy(), dl.to_numpy(), avg_len))
+        out = np.empty(len(tf), dtype=np.float32)
+        tfa, dla = tf.to_numpy(), dl.to_numpy()
+        dfa, cfa = df.to_numpy(), cf.to_numpy()
+        for i in range(len(tf)):
+            out[i] = scorer.score(
+                tfa[i:i + 1], dla[i:i + 1], df=dfa[i], cf=cfa[i],
+                num_docs=num_docs, avg_len=avg_len,
+                collection_len=collection_len)[0]
+        return pd.Series(out)
+
+    scored = joined.withColumn("_score", _score("tf", "doc_len", "df", "cf"))
+    max_score = scored.agg(F.max("_score")).collect()[0][0] or 1.0
+    quant = LinearQuantizer(float(max_score), cfg.quantize_bits)
+
+    @F.pandas_udf("long")
+    def _q(s: pd.Series) -> pd.Series:
+        return pd.Series(quant(s.to_numpy()).astype(np.int64))
+
+    out = scored.select("term_id", "doc_id", _q("_score").alias("tf"),
+                        "doc_len")
+    new_cfg = dataclasses.replace(cfg, scorer="quantized", quantize_bits=None)
+    return out, new_cfg, make_scorer("quantized")
+
+
 # --------------------------------------------------- global rank assignment
 
 def _sample_cuts(df, col: str, parts: int, per_part: int = 48) -> list:
@@ -342,13 +392,22 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     else:
         terms_distinct = (flat_terms.select("term").distinct()
                           .persist(StorageLevel.MEMORY_AND_DISK_DESER))
-        term_cuts = _sample_cuts(terms_distinct, "term", parts)
-        lex_with_ids, _lex_cache, _ = assign_rank_ids(
-            terms_distinct, "term", "term_id", term_cuts, parts)
+        n_terms = terms_distinct.count()
+        if n_terms <= cfg.lexicon_broadcast_max:
+            # small vocabulary: one collect + a broadcast-sized local sort
+            # replaces the distributed rank assignment's 3 extra jobs.
+            # Web-scale vocabularies (>max) take the distributed path.
+            vocab = sorted(r[0] for r in terms_distinct.collect())
+            lex_with_ids = spark.createDataFrame(
+                list(zip(vocab, range(len(vocab)))),
+                "term string, term_id long")
+        else:
+            term_cuts = _sample_cuts(terms_distinct, "term", parts)
+            lex_with_ids, _lex_cache, _ = assign_rank_ids(
+                terms_distinct, "term", "term_id", term_cuts, parts)
         if manifest:
             manifest.write_df("lexicon_base", lex_with_ids)
             lexicon_base = manifest.read_df(spark, "lexicon_base")
-            _lex_cache.unpersist()
             terms_distinct.unpersist()
         else:
             lexicon_base = lex_with_ids
@@ -361,7 +420,14 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         .select("term_id", "doc_id", "tf", "doc_len")
     )
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
-    if not scorer.separable:
+    if cfg.quantize_bits and cfg.scorer != "quantized":
+        # score every posting (float32), quantize into the tf slot, and
+        # flip the index to the pass-through scorer — the reference's
+        # compress --quantize flow (block_inverted_index.hpp:446-468,
+        # linear_quantizer.cpp; its wand-data pass likewise re-streams the
+        # index to find the global max score first).
+        tf_full, cfg, scorer = _quantize_postings(tf_full, cfg, scorer, stats)
+    elif not scorer.separable:
         # non-separable scorers need df/cf at encode time (full-score block
         # maxima); separable ones derive term stats from the encoded rows
         term_stats_pre = (
@@ -426,7 +492,18 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
             F.max(F.array_max("block_max_part")).alias("max_part"))
         lex = lexicon_base.join(term_meta, "term_id")
-        if scorer.separable:
+        if scorer.separable and cfg.scorer == "bm25":
+            # metadata column (kernels recompute idf in float32 themselves;
+            # SQL doubles here save a python stage in the build):
+            # idf = max(1e-6, ln((N-df+0.5)/(df+0.5))) * (1+k1)
+            n_docs, k1 = stats["num_docs"], cfg.bm25_k1
+            idf = F.greatest(
+                F.lit(1e-6),
+                F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5))) * F.lit(1.0 + k1)
+            lex = lex.withColumn(
+                "max_score", (idf * F.col("max_part")).cast("float"))
+        elif scorer.separable:
             n_docs = stats["num_docs"]
 
             @F.pandas_udf("float")

@@ -15,6 +15,15 @@ def get_spark(app_name: str = "pisa-spark", cores: int | None = None,
 
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # glibc malloc in the python workers must not mmap/munmap per Arrow
+    # batch: at high task concurrency the kernel-side mmap lock + TLB
+    # shootdowns serialize every worker on the box (measured 10-20x
+    # slowdown of Arrow transfer at 16+ workers). Raising the thresholds
+    # keeps batch buffers on the free lists. Must be in the environment
+    # BEFORE the JVM spawns (workers inherit it through the daemon).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
     # Shuffle/spill dir: tmpfs when available. A cluster deployment puts
     # spark.local.dir on executor-local NVMe; on this single box every
     # executor thread would otherwise contend on one ext4 journal.

@@ -1,0 +1,88 @@
+"""End-to-end index + pruned-executor rank identity for the non-bm25
+scorers and the quantized index — the reference's central oracle test runs
+every algorithm x {bm25, qld} x {quantized, not}
+(test/test_ranked_queries.cpp:119-168)."""
+
+import pytest
+
+from pisa_spark.config import IndexConfig
+from pisa_spark.operators.topk import topk_search
+from pisa_spark.plans.build import build_index, extract_pages
+from pisa_spark.sources import webtext
+
+N_DOCS = 200
+K = 10
+ALGS = ("wand", "block_max_wand", "maxscore", "ranked_and")
+
+
+def _key(rows):
+    return sorted((r.qid, r.rank, r.doc_id, round(float(r.score), 5))
+                  for r in rows)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(webtext.generate_pandas(N_DOCS, seed=13))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return webtext.synth_queries(20, seed=31)
+
+
+@pytest.mark.parametrize("scorer", ["qld", "pl2", "dph"])
+def test_nonseparable_scorer_rank_identity(spark, pages, queries, scorer):
+    cfg = IndexConfig(scorer=scorer, shard_span=64)
+    idx = build_index(extract_pages(pages, cfg), cfg)
+    oracle = topk_search(idx, queries, k=K, algorithm="ranked_or",
+                         with_urls=False).collect()
+    assert oracle, "scorer produced no results"
+    for alg in ALGS:
+        got = topk_search(idx, queries, k=K, algorithm=alg,
+                          with_urls=False).collect()
+        if alg == "ranked_and":
+            continue  # conjunction: different result set by design
+        assert _key(got) == _key(oracle), f"{scorer}/{alg} diverged"
+
+
+def test_quantized_index_rank_identity_and_fidelity(spark, pages, queries):
+    cfg = IndexConfig(quantize_bits=8, shard_span=64)
+    qidx = build_index(extract_pages(pages, cfg), cfg)
+    assert qidx.cfg.scorer == "quantized"
+
+    oracle = topk_search(qidx, queries, k=K, algorithm="ranked_or",
+                         with_urls=False).collect()
+    assert oracle
+    for alg in ("wand", "block_max_wand", "maxscore"):
+        got = topk_search(qidx, queries, k=K, algorithm=alg,
+                          with_urls=False).collect()
+        assert _key(got) == _key(oracle), f"quantized/{alg} diverged"
+
+    # fidelity vs the unquantized bm25 index: top-k sets mostly agree
+    cfg0 = IndexConfig(shard_span=64)
+    idx0 = build_index(extract_pages(pages, cfg0), cfg0)
+    base = topk_search(idx0, queries, k=K, algorithm="ranked_or",
+                       with_urls=False).collect()
+    by_q_base, by_q_quant = {}, {}
+    for r in base:
+        by_q_base.setdefault(r.qid, set()).add(r.doc_id)
+    for r in oracle:
+        by_q_quant.setdefault(r.qid, set()).add(r.doc_id)
+    # The reference's invariant is quantized-vs-quantized-oracle identity
+    # (asserted above), NOT fidelity to the unquantized ranking — 8-bit
+    # levels tie many of this corpus's closely-packed scores, so top-10
+    # membership churns. Sanity: still far better than chance
+    # (10/200 docs would be ~0.05 by luck).
+    overlaps = [len(by_q_base[q] & by_q_quant.get(q, set()))
+                / max(len(by_q_base[q]), 1) for q in by_q_base]
+    assert sum(overlaps) / len(overlaps) > 0.25
+
+
+def test_quantized_scores_are_small_ints(spark, pages, queries):
+    cfg = IndexConfig(quantize_bits=6, shard_span=64)
+    qidx = build_index(extract_pages(pages, cfg), cfg)
+    from pisa_spark.operators.postings import decode_postings
+
+    flat = decode_postings(qidx.postings, qidx.cfg)
+    row = flat.agg({"tf": "max"}).collect()[0]
+    assert 1 <= row[0] < 2 ** 6

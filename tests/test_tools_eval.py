@@ -1,0 +1,190 @@
+"""Tools layer (count_postings / thresholds / kth_threshold / intersection /
+taily / samples), the plain-WAND executor, the Porter2 stemmer, and the
+TREC-style qrels evaluation harness.
+
+Reference surfaces: tools/*.cpp utilities, wand_query.hpp, the snowball
+english algorithm (src/token_filter.cpp:16-27), and the trec_eval regression
+harness (test/docker/benchmark/evaluate.sh)."""
+
+import math
+
+import pytest
+
+from pisa_spark import tools
+from pisa_spark.config import IndexConfig
+from pisa_spark.evaluate import evaluate_run, parse_qrels, summarize
+from pisa_spark.functions.stemmer import porter2
+from pisa_spark.operators.topk import topk_search
+from pisa_spark.plans.build import build_index, extract_pages
+from pisa_spark.sources import webtext
+
+N_DOCS = 250
+K = 10
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    cfg = IndexConfig(shard_span=64)
+    pages = spark.createDataFrame(webtext.generate_pandas(N_DOCS, seed=13))
+    return build_index(extract_pages(pages, cfg), cfg)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return webtext.synth_queries(12, seed=29)
+
+
+# ------------------------------------------------------------------- stemmer
+
+def test_porter2_known_vectors():
+    # snowball english semantics (porter2), incl. porter2-specific outputs
+    cases = {
+        "caresses": "caress", "flies": "fli", "ties": "tie", "dies": "die",
+        "running": "run", "hopping": "hop", "hoping": "hope",
+        "agreed": "agre", "troubled": "troubl",           # porter2 != porter1
+        "happy": "happi", "sky": "sky", "dying": "die", "news": "news",
+        "generalization": "general", "national": "nation",
+        "quickly": "quick", "goodness": "good", "argument": "argument",
+        "consignment": "consign", "adoption": "adopt", "cement": "cement",
+        "controlling": "control", "skies": "sky", "early": "earli",
+        "a": "a", "be": "be",
+    }
+    for w, want in cases.items():
+        assert porter2(w) == want, f"{w}: {porter2(w)} != {want}"
+
+
+def test_stem_queries_roundtrip():
+    out = tools.stem_queries(["Q1:running dogs quickly", "flies"])
+    assert out[0] == "Q1:run dog quick"
+    assert out[1] == "1:fli"
+
+
+def test_analyzer_with_stemmer():
+    from pisa_spark.functions.tokenize import make_analyzer
+
+    analyze = make_analyzer(IndexConfig(stemmer="porter2"))
+    assert analyze("Running HAPPILY") == ["run", "happili"]
+
+
+# --------------------------------------------------------------------- tools
+
+def test_count_postings_matches_lexicon_df(index, queries):
+    rows = tools.count_postings(index, queries[:4]).collect()
+    assert rows, "queries must hit indexed terms"
+    lex = {r["term"]: r["df"] for r in index.lexicon.collect()}
+    from pisa_spark.functions.tokenize import analyze_query_terms
+
+    for row in rows:
+        qid = row["qid"]
+        want = sum(lex.get(t, 0) for q, t, _ in
+                   analyze_query_terms(queries[:4], index.cfg) if q == qid)
+        assert row["n_postings"] == want
+
+
+def test_thresholds_equal_kth_score(index, queries):
+    res = topk_search(index, queries[:6], k=K, with_urls=False).collect()
+    kth = {}
+    for r in res:
+        if r["rank"] == K:
+            kth[r["qid"]] = r["score"]
+    thr = {r["qid"]: r["threshold"]
+           for r in tools.thresholds(index, queries[:6], k=K).collect()}
+    assert thr == kth
+
+
+def test_kth_threshold_is_safe_seed(index, queries):
+    """Seeding with the single-term kth bound must not change results
+    (reference kth_threshold estimates are safe lower bounds)."""
+    thr = {r["qid"]: float(r["threshold"])
+           for r in tools.kth_threshold(index, queries[:6], k=K).collect()}
+    base = topk_search(index, queries[:6], k=K, with_urls=False).collect()
+    seeded = topk_search(index, queries[:6], k=K, with_urls=False,
+                         thresholds=thr).collect()
+    key = lambda rows: sorted((r.qid, r.rank, r.doc_id) for r in rows)
+    assert key(base) == key(seeded)
+    truth = {r["qid"]: r["score"] for r in base if r["rank"] == K}
+    for qid, t in thr.items():
+        if qid in truth:
+            assert t <= truth[qid] + 1e-6
+
+
+def test_intersection_pairs(index, queries):
+    out = tools.intersection(index, queries[:2]).collect()
+    singles = [r for r in out if r["term_b"] is None]
+    pairs = [r for r in out if r["term_b"] is not None]
+    assert singles and pairs
+    by_term = {r["term_a"]: r["n_postings"] for r in singles}
+    for p in pairs:  # |A ∩ B| <= min(|A|, |B|)
+        assert p["n_postings"] <= min(by_term[p["term_a"]],
+                                      by_term[p["term_b"]])
+
+
+def test_selective_queries(index, queries):
+    out = tools.selective_queries(index, queries, max_ratio=2.0).collect()
+    assert len(out) == len({r["qid"] for r in out})
+    for r in out:
+        assert 0 < r["selectivity"] <= 2.0
+
+
+def test_sample_and_taily(index):
+    total = index.postings.count()
+    sampled = tools.sample_inverted_index(index, 0.5, seed=7).count()
+    assert 0 < sampled < total
+    ts = tools.taily_stats(index)
+    row = ts.orderBy("term_id").first()
+    assert row["any"] > 0 and row["expected_value"] > 0
+    assert row["variance"] >= 0
+
+
+def test_map_queries_drops_unknown(index):
+    out = {r["qid"]: r["term_ids"]
+           for r in tools.map_queries(
+               index, ["Q1:term0001 zzzunknownterm"]).collect()}
+    assert len(out["Q1"]) == 1  # unknown term dropped
+
+
+# ----------------------------------------------------------------- plain wand
+
+def test_wand_rank_identity(index, queries):
+    oracle = topk_search(index, queries, k=K, algorithm="ranked_or",
+                         with_urls=False).collect()
+    wand = topk_search(index, queries, k=K, algorithm="wand",
+                       with_urls=False).collect()
+    taat = topk_search(index, queries, k=K, algorithm="ranked_or_taat",
+                       with_urls=False).collect()
+    key = lambda rows: sorted(
+        (r.qid, r.rank, r.doc_id, round(float(r.score), 6)) for r in rows)
+    assert key(oracle) == key(wand)
+    assert key(oracle) == key(taat)
+
+
+# ------------------------------------------------------------------ trec eval
+
+def test_evaluate_run_known_values(spark):
+    # 1 query, k=5: ranks 1,3 relevant out of 3 relevant total
+    results = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+         ("q1", "d4", 4), ("q1", "d5", 5)],
+        "qid string, url string, rank long")
+    qrels = parse_qrels(spark, [
+        "q1 0 d1 1", "q1 0 d3 1", "q1 0 d9 1", "q1 0 d4 0"])
+    m = evaluate_run(results, qrels, k=5).collect()[0]
+    # AP = (1/1 + 2/3) / 3
+    assert abs(m["ap"] - (1.0 + 2.0 / 3.0) / 3.0) < 1e-6
+    assert abs(m["p_at_k"] - 2.0 / 5.0) < 1e-6
+    assert abs(m["recall_at_k"] - 2.0 / 3.0) < 1e-6
+    # DCG = 1/log2(2) + 1/log2(4); IDCG = 1/log2(2)+1/log2(3)+1/log2(4)
+    dcg = 1.0 + 1.0 / 2.0
+    idcg = 1.0 + 1.0 / math.log2(3.0) + 0.5
+    assert abs(m["ndcg_at_k"] - dcg / idcg) < 1e-6
+    s = summarize(evaluate_run(results, qrels, k=5))
+    assert s["num_q"] == 1 and abs(s["map"] - m["ap"]) < 1e-3
+
+
+def test_evaluate_self_run_is_perfect(spark, index, queries):
+    """A run evaluated against qrels derived from itself scores 1.0."""
+    res = topk_search(index, queries[:4], k=5)
+    qrels_lines = [f"{r['qid']} 0 {r['url']} 1" for r in res.collect()]
+    qrels = parse_qrels(spark, qrels_lines)
+    s = summarize(evaluate_run(res, qrels, k=5))
+    assert s["map"] == 1.0 and s["ndcg_at_k"] == 1.0
