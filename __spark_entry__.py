@@ -199,6 +199,21 @@ def _q_bm25_topk_maxscore(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"))
 
 
+def _q_bm25_topk_batch(spark, sf_dir):
+    """Shard-partitioned batch executor (queries broadcast, one kernel pass
+    per shard for the whole query set) — rows-only check; rank identity vs
+    the join executor is pinned by tests/test_topk.py."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import topk_search_batch
+
+    idx = _get_index(spark, sf_dir)
+    res = topk_search_batch(idx, QUERY_SET, k=10,
+                            algorithm="block_max_wand", with_urls=True)
+    return _with_orig_doc_id(res).select(
+        "qid", "doc_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_boolean_and(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -436,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_bmw": _q_bm25_topk_bmw,
         "bm25_topk_maxscore": _q_bm25_topk_maxscore,
+        "bm25_topk_batch": _q_bm25_topk_batch,
         "boolean_and_count": _q_boolean_and,
         "boolean_or_count": _q_boolean_or,
         "exact_duplicates": _q_exact_duplicates,

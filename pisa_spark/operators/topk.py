@@ -433,6 +433,123 @@ def topk_search(index, queries: list[str] | object, k: int = 10,
     )
 
 
+def topk_search_batch(index, queries: list[str], k: int = 10,
+                      algorithm: str = "maxscore", weighted: bool = False,
+                      range_span: int = 16384,
+                      thresholds: dict[str, float] | None = None,
+                      with_urls: bool = False):
+    """Batch-query executor: the physical strategy for LARGE query sets.
+
+    topk_search joins the query table into the postings, which duplicates a
+    hot term's posting row once per query using it. Here the (small by
+    construction — reference query files are KBs) analyzed query set is
+    broadcast instead, the postings are filtered to the query vocabulary and
+    co-located by shard, and ONE kernel pass per shard answers every query —
+    the reference's evaluate_queries shape (parallel over queries, shared
+    mmap'd index, evaluate_queries.cpp:154-156) with shards as the unit of
+    parallelism. Results are identical to topk_search (same kernels).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    algorithm = _ALGORITHM_ALIASES.get(algorithm, algorithm)
+    cfg = index.cfg
+    spark = index.lexicon.sparkSession
+    stats = dict(index.stats)
+    scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    if isinstance(queries, list):
+        qterms = make_query_terms_df(spark, queries, cfg)
+    else:
+        qterms = queries
+
+    qrows = (qterms.join(
+        index.lexicon.select("term", "term_id", "df", "cf"), "term")
+        .select("qid", "term_id", "weight", "df", "cf").collect())
+    term_queries: dict[int, list] = {}
+    term_stats: dict[int, tuple] = {}
+    n_terms: dict[str, int] = {}
+    for r in qrows:
+        term_queries.setdefault(int(r["term_id"]), []).append(
+            (r["qid"], float(r["weight"])))
+        term_stats[int(r["term_id"])] = (int(r["df"]), int(r["cf"]))
+        n_terms[r["qid"]] = n_terms.get(r["qid"], 0) + 1
+    bc = spark.sparkContext.broadcast(
+        (term_queries, term_stats, n_terms, dict(thresholds or {})))
+
+    wanted = list(term_stats)
+    posts = (index.postings.filter(F.col("term_id").isin(wanted))
+             .join(index.shards.select(
+                 "shard_id", F.col("base_doc").alias("shard_base"),
+                 "doc_lens"), "shard_id")
+             .repartition("shard_id")
+             .sortWithinPartitions("shard_id", "term_id"))
+
+    codec = cfg.codec
+
+    def run_shard(pdf: pd.DataFrame):
+        tq, tstats, ntq, thr = bc.value
+        doc_lens = np.asarray(pdf["doc_lens"].iat[0], dtype=np.int64)
+        shard_base = int(pdf["shard_base"].iat[0])
+        pdf = pdf.assign(
+            df=pdf["term_id"].map(lambda t: tstats[int(t)][0]),
+            cf=pdf["term_id"].map(lambda t: tstats[int(t)][1]),
+            weight=1.0)
+        by_query: dict[str, list] = {}
+        for row in pdf.itertuples(index=False):
+            shared = None if weighted else _TermRun(
+                row, scorer, stats, 1.0, False, codec)
+            for qid, w in tq.get(int(row.term_id), ()):
+                # unweighted runs share one object => one decode per row
+                # even when many queries use the term
+                run = shared if shared is not None else _TermRun(
+                    row, scorer, stats, w, weighted, codec)
+                by_query.setdefault(qid, []).append(run)
+        out_q, out_d, out_s = [], [], []
+        for qid, runs in by_query.items():
+            docs, scores = _run_kernel(
+                algorithm, runs, k, scorer, stats, doc_lens, shard_base,
+                range_span, float(thr.get(qid, 0.0)),
+                n_query_terms=ntq.get(qid))
+            out_q.append(np.repeat(qid, docs.size))
+            out_d.append(docs)
+            out_s.append(scores)
+        if not out_q:
+            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+        return pd.DataFrame({
+            "qid": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "score": np.concatenate(out_s).astype(np.float32)})
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["shard_id"].iat[-1]
+            tail = pdf["shard_id"].to_numpy() == last
+            if tail.all():
+                carry = pdf
+                continue
+            first_tail = int(np.flatnonzero(tail).min())
+            complete, carry = pdf.iloc[:first_tail], pdf.iloc[first_tail:]
+            for _, grp in complete.groupby("shard_id", sort=False):
+                yield run_shard(grp)
+        if carry is not None and len(carry):
+            for _, grp in carry.groupby("shard_id", sort=False):
+                yield run_shard(grp)
+
+    partial = posts.mapInPandas(run, schema=TOPK_PARTIAL_SCHEMA)
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (partial.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k))
+    if not with_urls:
+        return ranked.select("qid", "doc_id", "score", "rank")
+    return (ranked.join(index.docs.select("doc_id", "url"), "doc_id")
+            .select("qid", "doc_id", "url", "score", "rank"))
+
+
 def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
                         id_col: str = "doc_id", text_col: str = "text",
                         k1: float = 0.9, b: float = 0.4,

@@ -111,13 +111,15 @@ def worker(cores: int, n_docs: int) -> None:
     idx = build_index(pages, cfg, html_col="html", eager=True)
     build_s = time.time() - t0
 
-    # ---- timed: batch queries
+    # ---- timed: batch queries (shard-partitioned batch executor)
+    from pisa_spark.operators.topk import topk_search_batch
+
     queries = webtext.synth_queries(N_QUERIES, seed=29)
-    topk_search(idx, queries[:4], k=10, algorithm="block_max_wand",
-                with_urls=False).count()  # warm-up
+    topk_search_batch(idx, queries[:4], k=10,
+                      algorithm="block_max_wand").count()  # warm-up
     t0 = time.time()
-    topk_search(idx, queries, k=10, algorithm="block_max_wand",
-                with_urls=False).count()
+    topk_search_batch(idx, queries, k=10,
+                      algorithm="block_max_wand").count()
     query_s = time.time() - t0
     print(json.dumps({
         "cores": cores,

@@ -162,3 +162,21 @@ def test_trec_output_format(index):
         assert parts[0] == "Q1" and parts[1] == "Q0"
         assert parts[2].startswith("https://")
         float(parts[4])
+
+
+def test_batch_executor_identity(index, queries):
+    """topk_search_batch (shard-partitioned, queries broadcast) returns
+    exactly what the join executor returns, for every algorithm."""
+    from pisa_spark.operators.topk import topk_search_batch
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, round(float(r.score), 6))
+                      for r in rows)
+
+    for alg in ("ranked_or", "maxscore", "block_max_wand", "wand",
+                "ranked_and"):
+        a = key(topk_search(index, queries, k=K, algorithm=alg,
+                            with_urls=False).collect())
+        b = key(topk_search_batch(index, queries, k=K,
+                                  algorithm=alg).collect())
+        assert a == b, alg
