@@ -204,6 +204,84 @@ def encode_postings(tf_df, cfg: IndexConfig, stats: dict,
     return arranged.mapInPandas(run, schema=ENCODED_SCHEMA)
 
 
+def encode_postings_docwise(doc_terms, vocab: dict, cfg: IndexConfig,
+                            stats: dict, num_partitions: int | None = None):
+    """Doc-wise encode path for broadcastable vocabularies: shuffle the
+    COMPACT per-doc token rows by shard (~100x less data than the exploded
+    (term, doc, tf) rows) and do explode + term-id remap + (term, doc) sort
+    in numpy inside the kernel. Output rows are identical to
+    encode_postings'. This mirrors the reference's invert batch path even
+    more closely: build a per-batch inverted index straight from the
+    forward index (src/invert.cpp:135-161), with doc-shards as batches.
+
+    Requires a separable or stats-free scorer (bm25/quantized): df/cf are
+    not known doc-wise. Web-scale vocabularies use encode_postings.
+    """
+    from pyspark.sql import functions as F
+
+    scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    if not scorer.separable and not getattr(scorer, "stats_free", False):
+        raise ValueError("docwise encode requires separable/stats-free scorer")
+    spark = doc_terms.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    bc = spark.sparkContext.broadcast(vocab)
+    span = cfg.shard_span
+
+    arranged = (
+        doc_terms.select(
+            (F.col("doc_id") / F.lit(span)).cast("long").alias("shard_id"),
+            "doc_id", "doc_len", "terms", "tfs")
+        .repartition(parts, "shard_id")
+        .sortWithinPartitions("shard_id", "doc_id")
+    )
+
+    def encode_shards(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = bc.value
+        n_tok = pdf["terms"].map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(pdf["doc_id"].to_numpy(), n_tok)
+        dl = np.repeat(pdf["doc_len"].to_numpy(), n_tok)
+        if len(doc) == 0:
+            return _encode_batch(pd.DataFrame({
+                "shard_id": [], "term_id": [], "doc_id": [], "tf": [],
+                "doc_len": []}), cfg, stats, scorer)
+        terms_flat = np.concatenate(pdf["terms"].to_numpy())
+        tfs_flat = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
+        tid = pd.Series(terms_flat).map(v).to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, tid, doc // span))
+        flat = pd.DataFrame({
+            "shard_id": (doc // span)[order],
+            "term_id": tid[order],
+            "doc_id": doc[order],
+            "tf": tfs_flat[order],
+            "doc_len": dl[order],
+        })
+        return _encode_batch(flat, cfg, stats, scorer)
+
+    def run(batches):
+        # carry whole shards across Arrow batches (same trick as
+        # _group_carry but keyed on shard_id only: a shard's docs are
+        # contiguous after the sort)
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["shard_id"].iat[-1]
+            tail = pdf["shard_id"].to_numpy() == last
+            if tail.all():
+                carry = pdf
+                continue
+            first_tail = int(np.flatnonzero(tail).min())
+            complete, carry = pdf.iloc[:first_tail], pdf.iloc[first_tail:]
+            if len(complete):
+                yield encode_shards(complete)
+        if carry is not None and len(carry):
+            yield encode_shards(carry)
+
+    return arranged.mapInPandas(run, schema=ENCODED_SCHEMA)
+
+
 # ------------------------------------------------------------------- decode
 
 def decode_rows(pdf: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:

@@ -40,7 +40,8 @@ from pisa_spark.config import DEFAULT_CONFIG, IndexConfig
 from pisa_spark.functions.scoring import make_scorer
 from pisa_spark.functions.text import extract_text_batch
 from pisa_spark.functions.tokenize import make_analyzer
-from pisa_spark.operators.postings import encode_postings
+from pisa_spark.operators.postings import (encode_postings,
+                                           encode_postings_docwise)
 from pisa_spark.plans.checkpoint import BuildManifest
 
 
@@ -253,7 +254,7 @@ def _bucket_expr(col: str, cuts: list):
 
 
 def assign_rank_ids(df, order_col: str, id_col: str, cuts: list, parts: int,
-                    extra_aggs: list | None = None):
+                    extra_aggs: list | None = None, persist: bool = True):
     """Assign dense 0..N-1 ids in global `order_col` order without a global
     window and without range-sampling `df`'s (possibly expensive) lineage:
     bucket by the precomputed cut points, one hash shuffle on the bucket id,
@@ -387,6 +388,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     # fwd.terms; reference src/forward_index_builder.cpp:168-177). The
     # distinct-terms table is persisted first so cut-point sampling scans
     # the (small) cache instead of re-running the distinct aggregation.
+    vocab_map = None
     if manifest and manifest.done("lexicon_base"):
         lexicon_base = manifest.read_df(spark, "lexicon_base")
     else:
@@ -398,6 +400,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             # replaces the distributed rank assignment's 3 extra jobs.
             # Web-scale vocabularies (>max) take the distributed path.
             vocab = sorted(r[0] for r in terms_distinct.collect())
+            vocab_map = {t: i for i, t in enumerate(vocab)}
             lex_with_ids = spark.createDataFrame(
                 list(zip(vocab, range(len(vocab)))),
                 "term string, term_id long")
@@ -452,6 +455,14 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         for p in bucket_paths:
             spark.catalog.refreshByPath(p)
         postings = spark.read.parquet(*bucket_paths)
+    elif (vocab_map is not None and cfg.quantize_bits is None
+          and (scorer.separable or getattr(scorer, "stats_free", False))):
+        # broadcastable vocabulary: doc-wise encode skips the exploded
+        # (term, doc, tf) shuffle entirely (operators/postings.py)
+        postings = encode_postings_docwise(
+            doc_terms, vocab_map, cfg, stats).persist()
+        if eager:
+            postings.count()
     else:
         postings = encode_postings(tf_full, cfg, stats).persist()
         if eager:

@@ -50,3 +50,31 @@ def read_queries(path: str) -> list[str]:
     (docs/src/guide/querying.md:3-14)."""
     with open(path) as f:
         return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def parse_trec_topics(text: str, field: str = "title") -> list[str]:
+    """TREC topic file -> `qid:text` query lines (the extract_topics tool;
+    reference test/test_trec_topic_reader.cpp format: <top> blocks with
+    <num> Number: N and <title>/<desc>/<narr> fields)."""
+    import re
+
+    out = []
+    for block in re.split(r"<top>", text):
+        num = re.search(r"<num>\s*(?:Number:)?\s*([^\s<]+)", block)
+        if not num:
+            continue
+        tag = {"title": "title", "desc": "desc", "narrative": "narr"}[field] \
+            if field in ("title", "desc", "narrative") else field
+        m = re.search(rf"<{tag}>\s*(?:Topic:|Description:|Narrative:)?\s*"
+                      rf"(.*?)(?=<(?:title|desc|narr|num|/top)>|\Z)",
+                      block, re.S)
+        if m:
+            q = " ".join(m.group(1).split())
+            if q:
+                out.append(f"{num.group(1)}:{q}")
+    return out
+
+
+def read_trec_topics(path: str, field: str = "title") -> list[str]:
+    with open(path) as f:
+        return parse_trec_topics(f.read(), field)

@@ -1,0 +1,96 @@
+"""Sharding utilities (partition_fwd_index analogue + Taily selection) and
+the record/topic readers (reference src/sharding.cpp, taily_stats.hpp,
+src/parser.cpp, test/test_trec_topic_reader.cpp)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.config import IndexConfig
+from pisa_spark.operators.sharding import (partition_collection, taily_select,
+                                           taily_shard_stats)
+from pisa_spark.plans.build import build_index, extract_pages
+from pisa_spark.sources import webtext
+from pisa_spark.sources.readers import (parse_trec_topics, read_jsonl,
+                                        read_plaintext)
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    cfg = IndexConfig(shard_span=64)
+    pages = spark.createDataFrame(webtext.generate_pandas(200, seed=13))
+    return build_index(extract_pages(pages, cfg), cfg)
+
+
+def test_partition_collection_random_stable_and_uniform(spark):
+    docs = spark.createDataFrame(
+        [(f"u{i:04d}", "x") for i in range(400)], "url string, text string")
+    a = partition_collection(docs, 4).collect()
+    b = partition_collection(docs, 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded => stable
+    counts = {}
+    for r in a:
+        counts[r["shard"]] = counts.get(r["shard"], 0) + 1
+    assert set(counts) == {0, 1, 2, 3}
+    assert max(counts.values()) < 2.2 * min(counts.values())
+
+
+def test_partition_collection_mapping(spark):
+    docs = spark.createDataFrame([("a", "x"), ("b", "y")],
+                                 "url string, text string")
+    mapping = spark.createDataFrame([("a", 7), ("b", 9)],
+                                    "url string, shard int")
+    got = {r["url"]: r["shard"]
+           for r in partition_collection(docs, 2, method="mapping",
+                                         mapping=mapping).collect()}
+    assert got == {"a": 7, "b": 9}
+
+
+def test_taily_shard_stats_and_select(spark, index):
+    stats = taily_shard_stats(index)
+    row = stats.first()
+    assert row["any"] > 0 and row["variance"] >= 0
+    sel = taily_select(index, ["Q1:the term0001", "Q2:term0002"],
+                       n_shards_out=2, shard_stats=stats).collect()
+    by_q = {}
+    for r in sel:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) <= 2
+        assert all(r["mass"] > 0 for r in rows)
+
+
+def test_read_plaintext(spark, tmp_path):
+    p = tmp_path / "docs.txt"
+    p.write_text("D1 hello world\nD2 spark index\nD3\n")
+    got = {r["url"]: r["text"] for r in read_plaintext(spark, str(p)).collect()}
+    assert got == {"D1": "hello world", "D2": "spark index", "D3": ""}
+
+
+def test_read_jsonl(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"title": "T1", "content": "abc"}\n'
+                 '{"title": "T2", "content": "def", "url": "http://x"}\n')
+    got = {r["url"]: r["text"] for r in read_jsonl(spark, str(p)).collect()}
+    assert got == {"T1": "abc", "http://x": "def"}
+
+
+def test_parse_trec_topics():
+    text = """
+<top>
+<num> Number: 301
+<title> International Organized Crime
+<desc> Description:
+Identify organizations that participate in international criminal activity.
+<narr> Narrative: blah
+</top>
+<top>
+<num> 302
+<title>
+Poliomyelitis and Post-Polio
+</top>
+"""
+    qs = parse_trec_topics(text)
+    assert qs == ["301:International Organized Crime",
+                  "302:Poliomyelitis and Post-Polio"]
+    descs = parse_trec_topics(text, field="desc")
+    assert descs[0].startswith("301:Identify organizations")
