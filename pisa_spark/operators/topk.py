@@ -399,7 +399,7 @@ def topk_search(index, queries: list[str] | object, k: int = 10,
     codec = cfg.codec
     thr = dict(thresholds or {})
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid, shard_id = key[0], int(key[1])
         doc_lens = np.asarray(pdf["doc_lens"].iat[0], dtype=np.int64)
         shard_base = int(pdf["shard_base"].iat[0])
