@@ -53,6 +53,10 @@ N_MINHASH = 16
 N_BANDS = 4
 MINHASH_SHINGLE_N = 2
 JACCARD_THRESHOLD = 0.6
+# heavy-shingle cap: shingles in more docs than this are dropped from every
+# shingle set before the inverted self-join (bounds the join fan-out at
+# O(cap * df) instead of O(df^2); mirrored exactly by the SQL oracle)
+JACCARD_MAX_DF = 1000
 NEARDUP_COSINE = 0.55
 ANN_QUERY_IDS = list(range(8))
 
@@ -248,7 +252,8 @@ def _q_jaccard_pairs(spark, sf_dir):
     from pisa_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_documents(spark, sf_dir), shingle_n=1,
-                               threshold=JACCARD_THRESHOLD)
+                               threshold=JACCARD_THRESHOLD,
+                               max_shingle_df=JACCARD_MAX_DF)
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -279,10 +284,15 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    """Bucketed (LSH candidates + exact rerank) scale path; the DuckDB
+    oracle is the exact all-pairs form — the rerank keeps every emitted
+    cosine exact, and the probe count is sized so no qualifying pair is
+    missed on this data (verified recall test in tests/test_pipeline_ops)."""
     from pisa_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_embeddings(spark, sf_dir),
-                                   threshold=NEARDUP_COSINE)
+                                   threshold=NEARDUP_COSINE,
+                                   n_planes=4, probes=12)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -371,9 +381,27 @@ def _q_intersection_pairs(spark, sf_dir):
     from pisa_spark import tools
 
     idx = _get_index(spark, sf_dir)
-    out = tools.intersection(idx, QUERY_SET)
-    return (out.filter(F.col("term_b").isNotNull())
-            .select("qid", "term_a", "term_b", "n_postings"))
+    out = tools.intersection(idx, QUERY_SET, max_terms=2)
+    return (out.filter(F.size("terms") == 2)
+            .select("qid",
+                    F.element_at("terms", 1).alias("term_a"),
+                    F.element_at("terms", 2).alias("term_b"),
+                    "n_postings"))
+
+
+def _q_intersection_triples(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark import tools
+
+    idx = _get_index(spark, sf_dir)
+    out = tools.intersection(idx, QUERY_SET, max_terms=3)
+    return (out.filter(F.size("terms") == 3)
+            .select("qid",
+                    F.element_at("terms", 1).alias("term_a"),
+                    F.element_at("terms", 2).alias("term_b"),
+                    F.element_at("terms", 3).alias("term_c"),
+                    "n_postings"))
 
 
 def _q_selective_queries(spark, sf_dir):
@@ -470,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_postings": _q_count_postings,
         "bm25_thresholds": _q_bm25_thresholds,
         "intersection_pairs": _q_intersection_pairs,
+        "intersection_triples": _q_intersection_triples,
         "selective_queries": _q_selective_queries,
         "trec_eval": _q_trec_eval,
         "stemmed_token_stats": _q_stemmed_token_stats,
@@ -695,6 +724,22 @@ from qdt a join b_alias b on a.qid = b.qid and a.doc_id = b.doc_id
 where a.term_id < b.term_id
 group by a.qid, a.term_id, b.term_id
 """.replace("join b_alias b", "join qdt b"),
+        "intersection_triples": f"""
+with {_toks_cte()},
+lexids as (select term, row_number() over (order by term) - 1 as term_id
+           from (select distinct term from toks)),
+dt as (select distinct doc_id, term from toks),
+qt as (select distinct qid, term from {qv}),
+qdt as (select qt.qid, lexids.term_id, dt.doc_id
+        from qt join dt using(term) join lexids on qt.term = lexids.term)
+select a.qid, a.term_id as term_a, b.term_id as term_b, c.term_id as term_c,
+       count(*)::bigint as n_postings
+from qdt a
+join qdt b on a.qid = b.qid and a.doc_id = b.doc_id
+join qdt c on a.qid = c.qid and a.doc_id = c.doc_id
+where a.term_id < b.term_id and b.term_id < c.term_id
+group by a.qid, a.term_id, b.term_id, c.term_id
+""",
         "selective_queries": f"""
 with {_toks_cte()},
 dt as (select distinct doc_id, term from toks),
@@ -737,8 +782,11 @@ select md5(text) as text_hash, count(*) as n_docs, min(doc_id) as keep_doc_id
 from documents group by md5(text) having count(*) > 1
 """,
         "unigram_jaccard_pairs": f"""
-with sh as (select doc_id, unnest(list_distinct({TOKS_SQL})) as shingle
-            from documents where len({TOKS_SQL}) > 0),
+with shf as (select doc_id, unnest(list_distinct({TOKS_SQL})) as shingle
+             from documents where len({TOKS_SQL}) > 0),
+light as (select shingle from shf group by shingle
+          having count(*) <= {JACCARD_MAX_DF}),
+sh as (select shf.doc_id, shf.shingle from shf join light using(shingle)),
 sizes as (select doc_id, count(*) as n from sh group by doc_id),
 inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
           from sh a join sh b using(shingle)

@@ -33,7 +33,20 @@ class IndexConfig:
     # 128, codec/block_codecs.hpp); we also keep one block-max entry per
     # block (reference benchmark uses 64-posting WAND blocks — configurable).
     block_size: int = 128
-    codec: str = "varint"  # "varint" | "ef"
+    codec: str = "varint"  # "varint" | "ef" | "bp128"
+
+    # Block partition strategy (reference wand_utils.hpp:10-20 FixedBlock /
+    # VariableBlock): "fixed" cuts every block_size postings; "variable"
+    # places boundaries with the score-optimal partition DP
+    # (score_opt_partition.hpp) so block-max bounds hug skewed score
+    # distributions — tighter pruning for the same metadata budget.
+    block_partition: str = "fixed"  # "fixed" | "variable"
+    # DP knobs (variable only): candidate boundaries sit on a quantum grid
+    # (the eps-window approximation of the reference, re-expressed as grid
+    # coarsening); lambda is the per-block fixed cost — None self-tunes to
+    # a quarter of the fixed partition's mean per-block lost score area.
+    vbmw_quantum: int = 16
+    vbmw_lambda: float | None = None
 
     # Linear score quantization (reference compress --quantize +
     # scorer/quantized.hpp): scores quantized to ints replace frequencies

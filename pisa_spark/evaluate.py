@@ -52,11 +52,15 @@ def evaluate_run(results_df, qrels_df, k: int = 10, key_col: str = "url"):
               .withColumn("gain", F.col("rel")
                           / F.log2(F.col("rank") + F.lit(1.0))))
 
-    per_q = (scored.filter(F.col("rank") <= k)
-             .groupBy("qid")
+    # AP and num_rel_ret follow trec_eval `map`/`num_rel_ret` semantics:
+    # aggregated over the FULL run depth. Only P/nDCG/recall are @k.
+    per_q = (scored.groupBy("qid")
              .agg(F.sum(F.col("is_rel") * F.col("prec_at")).alias("ap_num"),
                   F.sum("is_rel").cast("long").alias("num_rel_ret"),
-                  F.sum("gain").alias("dcg")))
+                  F.sum(F.when(F.col("rank") <= k, F.col("is_rel"))
+                        .otherwise(F.lit(0.0))).cast("long").alias("rel_at_k"),
+                  F.sum(F.when(F.col("rank") <= k, F.col("gain"))
+                        .otherwise(F.lit(0.0))).alias("dcg")))
 
     # ideal DCG: relevant docs sorted by rel desc, ranks 1..min(num_rel, k)
     wq = W.partitionBy("qid").orderBy(F.desc("rel"), key_col)
@@ -72,12 +76,12 @@ def evaluate_run(results_df, qrels_df, k: int = 10, key_col: str = "url"):
                 F.coalesce("num_rel_ret", F.lit(0)).alias("num_rel_ret"),
                 F.round(F.coalesce(F.col("ap_num"), F.lit(0.0))
                         / F.col("num_rel"), 6).alias("ap"),
-                F.round(F.coalesce(F.col("num_rel_ret"), F.lit(0))
+                F.round(F.coalesce(F.col("rel_at_k"), F.lit(0))
                         / F.lit(float(k)), 6).alias("p_at_k"),
                 F.round(F.coalesce(F.col("dcg"), F.lit(0.0))
                         / F.coalesce(F.col("idcg"), F.lit(1.0)), 6)
                 .alias("ndcg_at_k"),
-                F.round(F.coalesce(F.col("num_rel_ret"), F.lit(0))
+                F.round(F.coalesce(F.col("rel_at_k"), F.lit(0))
                         / F.col("num_rel"), 6).alias("recall_at_k"),
             ))
 

@@ -67,8 +67,9 @@ class Qld:
 
     def score(self, freq, doc_len, *, df=None, num_docs=None, avg_len=None,
               collection_len=None, cf=None) -> np.ndarray:
+        """cf may be a scalar (one term) or a per-row array (mixed terms)."""
         mu = self.mu
-        term_component = F32(collection_len) / (mu * F32(cf))
+        term_component = F32(collection_len) / (mu * np.asarray(cf, dtype=F32))
         dl = np.asarray(doc_len, dtype=F32)
         f = np.asarray(freq, dtype=F32)
         a = np.log(mu / (dl + mu), dtype=F32)
@@ -89,7 +90,8 @@ class Pl2:
         dl = np.asarray(doc_len, dtype=f32)
         tfn = freq * np.log2(f32(1.0) + (self.c * f32(avg_len)) / dl, dtype=f32)
         norm = f32(1.0) / (tfn + f32(1.0))
-        f = (f32(1.0) * f32(cf)) / (f32(1.0) * f32(num_docs))
+        # cf may be scalar or per-row array (see Qld.score)
+        f = (f32(1.0) * np.asarray(cf, dtype=f32)) / (f32(1.0) * f32(num_docs))
         e = np.log(f32(1.0) / f32(2.0), dtype=f32)
         two_pi = f32(2.0) * f32(np.pi)
         return norm * (
@@ -111,9 +113,11 @@ class Dph:
         f = freq / dl
         norm = (f32(1.0) - f) * (f32(1.0) - f) / (freq + f32(1.0))
         two_pi = f32(2.0) * f32(np.pi)
+        # cf may be scalar or per-row array (see Qld.score)
         return norm * (
             freq * np.log2(
-                (freq * f32(avg_len) / dl) * (f32(num_docs) / f32(cf)), dtype=f32
+                (freq * f32(avg_len) / dl)
+                * (f32(num_docs) / np.asarray(cf, dtype=f32)), dtype=f32
             )
             + f32(0.5) * np.log2(two_pi * freq * (f32(1.0) - f), dtype=f32)
         )

@@ -88,8 +88,10 @@ def intersection_compute(index, queries, k_for_scores: int = 1_000_000):
     return sizes.join(maxes, "qid", "left")
 
 
-def count_postings(index):
-    """Total postings + per-term posting counts (tools/count_postings.cpp)."""
+def index_posting_totals(index):
+    """Whole-index posting totals (tools/count_postings.cpp run without a
+    query file). Renamed from count_postings: tools.count_postings is the
+    per-QUERY variant — same reference tool, different granularity."""
     from pyspark.sql import functions as F
 
     return index.lexicon.agg(

@@ -144,9 +144,49 @@ def ef_decode(buf: bytes) -> tuple[np.ndarray, int]:
     return (v_high << np.uint64(l)) | v_low, universe
 
 
+# ------------------------------------------------ fixed-width bitpack (bp)
+
+def bp_encode(values: np.ndarray) -> bytes:
+    """Per-block fixed-width bitpack: [varint n][1B width][bits LE-packed].
+
+    The SIMD-BP128 role (reference codec/simdbp.hpp:1-32, the benchmark
+    default codec): every value in a block packed at the block's max bit
+    width. The reference's 128-lane SIMD layout is register-oriented; the
+    numpy packbits layout keeps the same width-per-block compression with
+    whole-array vectorization, which is the Arrow-batch analogue."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return header
+    width = max(1, int(v.max()).bit_length())
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64))
+            & np.uint64(1)).astype(np.uint8)
+    return header + bytes([width]) + np.packbits(
+        bits.ravel(), bitorder="little").tobytes()
+
+
+def bp_decode(buf: bytes) -> np.ndarray:
+    """Decode bp_encode output -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    pos, n, shift = 0, 0, 0
+    while True:
+        byte = int(b[pos]); pos += 1
+        n |= (byte & 0x7F) << shift
+        shift += 7
+        if not byte & 0x80:
+            break
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    width = int(b[pos]); pos += 1
+    bits = np.unpackbits(b[pos:], bitorder="little")[: n * width]
+    return (bits.reshape(n, width).astype(np.uint64)
+            << np.arange(width, dtype=np.uint64)).sum(axis=1)
+
+
 # ------------------------------------------------------- posting-row codecs
 
-CODECS = ("varint", "ef")
+CODECS = ("varint", "ef", "bp128")
 
 
 def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
@@ -158,6 +198,9 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "ef":
         rel = (d - base - 1).astype(np.uint64)
         return ef_encode(rel, int(rel[-1]) if rel.size else 0)
+    if codec == "bp128":
+        gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
+        return bp_encode(gaps)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -170,6 +213,11 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         if count is not None and rel.size != count:
             raise ValueError("ef stream count mismatch")
         return rel.astype(np.int64) + base + 1
+    if codec == "bp128":
+        gaps = bp_decode(buf).astype(np.int64)
+        if count is not None and gaps.size != count:
+            raise ValueError("bp128 stream count mismatch")
+        return np.cumsum(gaps + 1) + base
     raise ValueError(f"unknown codec {codec!r}")
 
 

@@ -106,16 +106,31 @@ def minhash_lsh_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
 
 def ngram_jaccard_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
-                        shingle_n: int = 3, threshold: float = 0.8):
-    """Exact n-gram Jaccard >= threshold pairs via inverted shingle join."""
+                        shingle_n: int = 3, threshold: float = 0.8,
+                        max_shingle_df: int | None = None):
+    """n-gram Jaccard >= threshold pairs via inverted shingle join.
+
+    max_shingle_df caps the self-join fan-out: a boilerplate shingle with
+    df=d contributes d^2 join rows, so shingles appearing in more than
+    max_shingle_df docs are dropped from every doc's shingle set (both the
+    intersection AND the set sizes — the same move the index build makes
+    for stopwords). Jaccard is then computed over the capped sets: exact on
+    the reduced universe, deterministic, and mirrored 1:1 by the SQL oracle.
+    None (default) keeps every shingle (exact full-universe Jaccard)."""
     toks = english_tokens_col(F.col(text_col))
     sh = (
         docs.select(F.col(id_col).alias("doc_id"),
                     shingles_col(toks, shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     flat = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        light = (flat.groupBy("shingle")
+                 .agg(F.count("*").alias("_df"))
+                 .filter(F.col("_df") <= max_shingle_df)
+                 .select("shingle"))
+        flat = flat.join(light, "shingle")
+    sizes = flat.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = flat.alias("a"), flat.alias("b")
     inter = (
         a.join(b, "shingle")
@@ -205,10 +220,25 @@ def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
 def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.95):
-    """Embedding-cosine near-dup pairs (exact, all-pairs). For web scale,
-    pre-bucket with similarity.lsh_ann buckets; this exact form is the
-    rerank stage."""
+                            threshold: float = 0.95, exact: bool = False,
+                            n_planes: int = 6, probes: int = 8,
+                            seed: int = 7, dim: int | None = None):
+    """Embedding-cosine near-dup pairs.
+
+    Default (scale path): signed-random-projection LSH buckets generate
+    candidates — `probes` independent hash tables of `n_planes` hyperplanes
+    each; two vectors are candidates iff they share a bucket in ANY table —
+    then the exact cosine reranks candidates, so every emitted pair's cosine
+    is exact. Each table is one shuffle keyed on (table, bucket): O(N) plus
+    bounded bucket joins, never the all-pairs product. At cosine >= t the
+    per-table collision prob is (1 - acos(t)/pi)^n_planes, so probes tables
+    miss with prob (1-p)^probes — size probes for the target recall.
+
+    exact=True is the all-pairs crossJoin: the oracle/rerank mode for tests
+    and small inputs only (O(N^2); never at scale).
+    """
+    from pisa_spark.operators.similarity import lsh_bucket_udf
+
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
 
@@ -217,10 +247,44 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
+    cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    if exact:
+        return (
+            a.crossJoin(b)
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"),
+                    cosine.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    tables = [
+        e.select("vid", F.lit(t).alias("tbl"),
+                 lsh_bucket_udf(dim, n_planes, seed + t)("v").alias("bucket"))
+        for t in range(probes)
+    ]
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    cand = (
+        ba.join(bb, ["tbl", "bucket"])
+        .filter(F.col("ba.vid") < F.col("bb.vid"))
+        .select(F.col("ba.vid").alias("vid_a"),
+                F.col("bb.vid").alias("vid_b"))
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-                F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"))
+        cand
+        .join(e.select(F.col("vid").alias("vid_a"), F.col("v").alias("va"),
+                       F.col("nrm").alias("na")), "vid_a")
+        .join(e.select(F.col("vid").alias("vid_b"), F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb")), "vid_b")
+        .select(F.col("vid_a").alias("vec_a"), F.col("vid_b").alias("vec_b"),
+                F.round(
+                    F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, x: acc + x)
+                    / (F.col("na") * F.col("nb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

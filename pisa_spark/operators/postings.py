@@ -56,6 +56,80 @@ ENCODED_SCHEMA = (
 
 FLAT_SCHEMA = "term_id long, doc_id long, tf long"
 
+_ENCODED_COLUMNS = [
+    "shard_id", "term_id", "n", "sum_tf", "base_doc", "last_doc",
+    "block_last_docs", "block_doc_offs", "block_tf_offs",
+    "block_max_part", "docs_bin", "tfs_bin",
+]
+
+
+def _empty_encoded() -> pd.DataFrame:
+    """Zero-row frame matching ENCODED_SCHEMA."""
+    return pd.DataFrame({
+        c: pd.Series(dtype="int64" if c in (
+            "shard_id", "term_id", "n", "sum_tf", "base_doc", "last_doc")
+            else object)
+        for c in _ENCODED_COLUMNS})
+
+
+def _variable_boundaries(part: np.ndarray, bsz: int, quantum: int = 16,
+                         lam: float | None = None) -> np.ndarray:
+    """Score-optimal block boundaries for one posting run (VBMW).
+
+    Objective (reference include/pisa/score_opt_partition.hpp:1-200, used by
+    wand_utils.hpp:55-83 VariableBlock): choose boundaries minimizing
+    sum over blocks of [lambda + sum_i(block_max - part_i)] — the "lost
+    score area" that makes block-max bounds loose — with block span capped
+    at 2*bsz. The reference approximates the shortest-path DP with eps
+    windows (eps1=0.01, eps2=0.4); here the same objective runs exactly on
+    a quantum-grid of candidate boundaries (grid coarsening plays the role
+    of the eps approximation; fixed boundaries all sit on the grid, so the
+    result is never worse than the fixed partition under the objective).
+
+    lam=None self-tunes to 0.25x the fixed partition's mean per-block lost
+    area: flat runs (lost area ~0) keep big blocks, skewed runs buy extra
+    boundaries only where they reclaim 4x their cost. Returns block START
+    offsets (first element 0).
+    """
+    n = part.size
+    if n <= quantum:
+        return np.zeros(1, dtype=np.int64)
+    nodes = np.arange(0, n, quantum, dtype=np.int64)
+    nodes = np.append(nodes, n)
+    m = nodes.size
+    p64 = part.astype(np.float64)
+    S = np.concatenate(([0.0], np.cumsum(p64)))
+    qmax = np.maximum.reduceat(p64, nodes[:-1])
+    if lam is None:
+        fixed_starts = np.arange(0, n, bsz, dtype=np.int64)
+        fixed_ends = np.append(fixed_starts[1:], n)
+        fmax = np.maximum.reduceat(p64, fixed_starts)
+        lost_fixed = float(
+            (fmax * (fixed_ends - fixed_starts)).sum() - S[-1])
+        lam = max(1e-9, 0.25 * lost_fixed / fixed_starts.size)
+    max_span = max(1, (2 * bsz) // quantum)
+    dist = np.full(m, np.inf)
+    dist[0] = 0.0
+    prev = np.zeros(m, dtype=np.int64)
+    for j in range(1, m):
+        e_ = nodes[j]
+        run_max = 0.0
+        best, bi = np.inf, j - 1
+        for i in range(j - 1, max(-1, j - 1 - max_span), -1):
+            if qmax[i] > run_max:
+                run_max = qmax[i]
+            c = dist[i] + lam + run_max * (e_ - nodes[i]) - (S[e_] - S[nodes[i]])
+            if c < best:
+                best, bi = c, i
+        dist[j] = best
+        prev[j] = bi
+    bounds = []
+    j = m - 1
+    while j > 0:
+        j = int(prev[j])
+        bounds.append(nodes[j])
+    return np.array(bounds[::-1], dtype=np.int64)
+
 
 def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
                   scorer) -> pd.DataFrame:
@@ -64,6 +138,11 @@ def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
     Input columns: shard_id, term_id, doc_id, tf, doc_len (+ df, cf when the
     scorer is non-separable). Rows pre-sorted by (shard_id, term_id, doc_id).
     """
+    if not len(pdf):
+        # zero-row input (e.g. a shard whose docs all tokenized empty):
+        # return an empty frame in the encoded shape instead of running the
+        # group-boundary kernel, which assumes >= 1 group
+        return _empty_encoded()
     span = cfg.shard_span
     bsz = cfg.block_size
     shard = pdf["shard_id"].to_numpy()
@@ -105,6 +184,7 @@ def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
         tfs.astype(np.uint64) - np.uint64(1))
     tf_byte_off = np.concatenate(([0], np.cumsum(tf_lens_b)))
 
+    variable = cfg.block_partition == "variable"
     rows = []
     doc_mv = memoryview(doc_bytes) if doc_bytes is not None else None
     tf_mv = memoryview(tf_bytes)
@@ -112,22 +192,26 @@ def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
     for s, e in zip(starts, ends):
         n = e - s
         g_docs = docs[s:e]
-        blk_starts = np.arange(s, e, bsz)
-        # block last docs: docs at positions bsz-1, 2*bsz-1, ..., n-1
-        blk_last = g_docs[np.minimum(np.arange(bsz - 1, n + bsz - 1, bsz), n - 1)]
+        if variable:
+            blk_starts = s + _variable_boundaries(
+                part[s:e], bsz, cfg.vbmw_quantum, cfg.vbmw_lambda)
+        else:
+            blk_starts = np.arange(s, e, bsz)
+        blk_ends = np.append(blk_starts[1:], e)
+        blk_last = g_docs[blk_ends - s - 1]  # last doc of each block
         blk_max = np.maximum.reduceat(part[s:e], blk_starts - s).astype(np.float32)
         tf_offs = (tf_byte_off[blk_starts] - tf_byte_off[s]).astype(np.int32)
         if cfg.codec == "varint":
             d_bin = bytes(doc_mv[doc_byte_off[s]:doc_byte_off[e]])
             d_offs = (doc_byte_off[blk_starts] - doc_byte_off[s]).astype(np.int32)
         else:
-            # per-block EF over block-relative monotone values
+            # per-block encode over block-relative monotone values
             chunks, d_offs, off = [], [], 0
             b0 = int(base[s])
-            for bs in blk_starts:
-                be = min(bs + bsz, e)
+            for bs, be in zip(blk_starts, blk_ends):
                 prev_last = int(docs[bs - 1]) if bs > s else b0
-                buf = codecs.encode_gap_stream(docs[bs:be], prev_last, "ef")
+                buf = codecs.encode_gap_stream(docs[bs:be], prev_last,
+                                               cfg.codec)
                 d_offs.append(off)
                 chunks.append(buf)
                 off += len(buf)
@@ -227,11 +311,18 @@ def encode_postings_docwise(doc_terms, vocab: dict, cfg: IndexConfig,
     bc = spark.sparkContext.broadcast(vocab)
     span = cfg.shard_span
 
+    # shards are dense sequential ints and equal-sized by construction:
+    # round-robin placement (shard s -> partition s % parts) beats raw hash,
+    # which strands ~1/e of the partitions empty when n_shards ~ parts
+    from pisa_spark.operators.partitioning import (partition_values,
+                                                   round_robin_expr)
+
+    vals = partition_values(spark, parts)
     arranged = (
         doc_terms.select(
             (F.col("doc_id") / F.lit(span)).cast("long").alias("shard_id"),
             "doc_id", "doc_len", "terms", "tfs")
-        .repartition(parts, "shard_id")
+        .repartition(parts, round_robin_expr(F.col("shard_id"), parts, vals))
         .sortWithinPartitions("shard_id", "doc_id")
     )
 
@@ -293,13 +384,13 @@ def decode_rows(pdf: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:
         if cfg.codec == "varint":
             docs = codecs.decode_gap_stream(
                 bytes(row.docs_bin), int(row.base_doc), "varint", n)
-        else:
+        else:  # per-block codecs (ef, bp128)
             docs_parts = []
             offs = list(row.block_doc_offs) + [len(row.docs_bin)]
             prev_last = int(row.base_doc)
             for bi in range(len(offs) - 1):
                 chunk = bytes(row.docs_bin[offs[bi]:offs[bi + 1]])
-                d = codecs.decode_gap_stream(chunk, prev_last, "ef")
+                d = codecs.decode_gap_stream(chunk, prev_last, cfg.codec)
                 prev_last = int(d[-1])
                 docs_parts.append(d)
             docs = np.concatenate(docs_parts)

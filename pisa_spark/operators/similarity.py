@@ -68,16 +68,19 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 7):
 def lsh_ann_topk(embeddings, query_ids: list[int], k: int = 10,
                  n_planes: int = 12, probes: int = 1, multiprobe: int = 1,
                  seed: int = 7,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None):
     """ANN top-k: candidates = vectors sharing a bucket with the query in any
     of `probes` hash tables (multiprobe additionally checks buckets within
     `multiprobe` flipped sign bits), exact cosine rerank inside candidates.
 
     At cluster scale the bucketed join replaces the crossJoin of the exact
-    path: each table is one shuffle keyed on (table, bucket)."""
+    path: each table is one shuffle keyed on (table, bucket). Pass `dim`
+    (the embedding dimension) to avoid the driver-side row peek."""
     from pyspark.sql import Window as W
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
                           _norm(F.col(vec_col)).alias("nrm"))
     tables = []

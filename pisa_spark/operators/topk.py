@@ -108,12 +108,12 @@ class _TermRun:
             if self.codec == "varint":
                 self._docs = codecs.decode_gap_stream(
                     self.docs_bin, self.base_doc, "varint", self.n)
-            else:
+            else:  # per-block codecs (ef, bp128)
                 parts, prev = [], self.base_doc
                 offs = list(self.doc_offs) + [len(self.docs_bin)]
                 for i in range(len(offs) - 1):
                     d = codecs.decode_gap_stream(
-                        self.docs_bin[offs[i]:offs[i + 1]], prev, "ef")
+                        self.docs_bin[offs[i]:offs[i + 1]], prev, self.codec)
                     prev = int(d[-1])
                     parts.append(d)
                 self._docs = np.concatenate(parts)
@@ -476,12 +476,20 @@ def topk_search_batch(index, queries: list[str], k: int = 10,
     bc = spark.sparkContext.broadcast(
         (term_queries, term_stats, n_terms, dict(thresholds or {})))
 
+    from pisa_spark.operators.partitioning import (partition_values,
+                                                   round_robin_expr)
+
+    parts = spark.sparkContext.defaultParallelism
+    vals = partition_values(spark, parts)
     wanted = list(term_stats)
+    # shards -> partitions round-robin: shard ids are dense ints, and raw
+    # hash placement would idle ~1/e of the executors when shards ~ cores
     posts = (index.postings.filter(F.col("term_id").isin(wanted))
              .join(index.shards.select(
                  "shard_id", F.col("base_doc").alias("shard_base"),
                  "doc_lens"), "shard_id")
-             .repartition("shard_id")
+             .repartition(parts,
+                          round_robin_expr(F.col("shard_id"), parts, vals))
              .sortWithinPartitions("shard_id", "term_id"))
 
     codec = cfg.codec

@@ -173,8 +173,11 @@ def doc_term_counts(pages_df, cfg: IndexConfig,
 def _quantize_postings(tf_full, cfg: IndexConfig, scorer, stats: dict):
     """(term_id, doc_id, tf, doc_len) -> tf replaced by the linearly
     quantized float32 score; returns (df, new cfg with scorer='quantized',
-    pass-through scorer). Costs one extra scoring pass to find the global
-    max score, like the reference's wand-data pre-pass."""
+    pass-through scorer, true per-term (df, cf)). Costs one extra scoring
+    pass to find the global max score, like the reference's wand-data
+    pre-pass. The returned term stats are the PRE-quantization df/cf — the
+    reference's wand_data keeps term collection frequency, not a sum of
+    quantized scores, so the lexicon must carry these instead of sum_tf."""
     import dataclasses
 
     from pyspark.sql import functions as F
@@ -196,15 +199,12 @@ def _quantize_postings(tf_full, cfg: IndexConfig, scorer, stats: dict):
             return pd.Series(
                 idf.astype(np.float32)
                 * scorer.doc_part(tf.to_numpy(), dl.to_numpy(), avg_len))
-        out = np.empty(len(tf), dtype=np.float32)
-        tfa, dla = tf.to_numpy(), dl.to_numpy()
-        dfa, cfa = df.to_numpy(), cf.to_numpy()
-        for i in range(len(tf)):
-            out[i] = scorer.score(
-                tfa[i:i + 1], dla[i:i + 1], df=dfa[i], cf=cfa[i],
-                num_docs=num_docs, avg_len=avg_len,
-                collection_len=collection_len)[0]
-        return pd.Series(out)
+        # non-separable scorers take per-row df/cf arrays (one numpy pass)
+        return pd.Series(scorer.score(
+            tf.to_numpy(), dl.to_numpy(),
+            df=df.to_numpy(), cf=cf.to_numpy(),
+            num_docs=num_docs, avg_len=avg_len,
+            collection_len=collection_len).astype(np.float32))
 
     scored = joined.withColumn("_score", _score("tf", "doc_len", "df", "cf"))
     max_score = scored.agg(F.max("_score")).collect()[0][0] or 1.0
@@ -217,18 +217,39 @@ def _quantize_postings(tf_full, cfg: IndexConfig, scorer, stats: dict):
     out = scored.select("term_id", "doc_id", _q("_score").alias("tf"),
                         "doc_len")
     new_cfg = dataclasses.replace(cfg, scorer="quantized", quantize_bits=None)
-    return out, new_cfg, make_scorer("quantized")
+    return out, new_cfg, make_scorer("quantized"), term_stats_pre
 
 
 # --------------------------------------------------- global rank assignment
 
-def _sample_cuts(df, col: str, parts: int, per_part: int = 48) -> list:
+def _footer_count(df) -> int | None:
+    """Row count from parquet footers (driver-side metadata reads — cheap on
+    local disk and on object stores alike); None when the plan isn't a plain
+    parquet scan. Saves the count() job _sample_cuts would otherwise run."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+def _sample_cuts(df, col: str, parts: int, per_part: int = 48,
+                 approx_count: int | None = None) -> list:
     """parts-1 sorted range cut points for `col`, from a driver-side sample
     (what RangePartitioner does, but reading ONLY `col` from `df` — so a
-    cheap column-pruned source can stand in for an expensive lineage)."""
+    cheap column-pruned source can stand in for an expensive lineage).
+    approx_count skips the count() job (any near-count works: it only
+    sizes the sample fraction)."""
     if parts <= 1:
         return []
-    cnt = df.count()
+    cnt = approx_count if approx_count is not None else df.count()
     if cnt == 0:
         return []
     frac = min(1.0, (parts * per_part * 1.2) / cnt)
@@ -264,17 +285,28 @@ def assign_rank_ids(df, order_col: str, id_col: str, cuts: list, parts: int,
 
     Returns (with_ids, arranged_cached, meta_rows); meta_rows carries one
     row per bucket including any `extra_aggs` (lets callers fuse their own
-    global stats into this job instead of running another)."""
+    global stats into this job instead of running another).
+
+    Placement: buckets land on partitions round-robin (bucket i -> partition
+    i % parts, via operators.partitioning) instead of by raw hash — with
+    only O(parts) distinct bucket values, hash placement leaves ~1/e of the
+    partitions empty and doubles up others, a 2x straggler on the build's
+    dominant stage. Callers pass MORE buckets than parts (e.g. 4x) so
+    cut-sampling error also averages out across a partition's buckets."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    from pisa_spark.operators.partitioning import (partition_values,
+                                                   round_robin_expr)
+
     spark = df.sparkSession
+    vals = partition_values(spark, parts)
     # DESER level: the columnar cache build for serialized levels pays a
     # compression pass that contends badly at high task concurrency
     # (measured: +15s on 300k docs at 16 cores, free at 4)
     arranged = (
         df.withColumn("_pid", _bucket_expr(order_col, cuts))
-        .repartition(parts, "_pid")
+        .repartition(parts, round_robin_expr(F.col("_pid"), parts, vals))
         .sortWithinPartitions("_pid", order_col)
         .withColumn("_mono", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
@@ -344,8 +376,11 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         doc_terms = manifest.read_df(spark, "doc_terms")
         stats = manifest.state["stats"]
     else:
+        # 4x more buckets than partitions: round-robin placement gives each
+        # partition ~4 equal buckets, averaging out cut-sampling error
         cuts = _sample_cuts(docs_df.select(F.col(url_col).alias("url")),
-                            "url", parts)
+                            "url", parts * 4,
+                            approx_count=_footer_count(docs_df))
         _phase("url_cuts")
         tokenized = doc_term_counts(src, cfg, html_col=html_col)
         doc_terms, _tok_cache, meta = assign_rank_ids(
@@ -405,7 +440,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                 list(zip(vocab, range(len(vocab)))),
                 "term string, term_id long")
         else:
-            term_cuts = _sample_cuts(terms_distinct, "term", parts)
+            term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
             lex_with_ids, _lex_cache, _ = assign_rank_ids(
                 terms_distinct, "term", "term_id", term_cuts, parts)
         if manifest:
@@ -423,13 +458,15 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         .select("term_id", "doc_id", "tf", "doc_len")
     )
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    true_term_stats = None
     if cfg.quantize_bits and cfg.scorer != "quantized":
         # score every posting (float32), quantize into the tf slot, and
         # flip the index to the pass-through scorer — the reference's
         # compress --quantize flow (block_inverted_index.hpp:446-468,
         # linear_quantizer.cpp; its wand-data pass likewise re-streams the
         # index to find the global max score first).
-        tf_full, cfg, scorer = _quantize_postings(tf_full, cfg, scorer, stats)
+        tf_full, cfg, scorer, true_term_stats = _quantize_postings(
+            tf_full, cfg, scorer, stats)
     elif not scorer.separable:
         # non-separable scorers need df/cf at encode time (full-score block
         # maxima); separable ones derive term stats from the encoded rows
@@ -502,6 +539,12 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         term_meta = postings.groupBy("term_id").agg(
             F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
             F.max(F.array_max("block_max_part")).alias("max_part"))
+        if true_term_stats is not None:
+            # quantized path: sum_tf aggregates quantized scores, not term
+            # collection frequency — carry the pre-quantization df/cf
+            # (reference wand_data term stats semantics)
+            term_meta = (term_meta.drop("df", "cf")
+                         .join(true_term_stats, "term_id"))
         lex = lexicon_base.join(term_meta, "term_id")
         if scorer.separable and cfg.scorer == "bm25":
             # metadata column (kernels recompute idf in float32 themselves;

@@ -14,7 +14,9 @@ def get_spark(app_name: str = "pisa-spark", cores: int | None = None,
     from pyspark.sql import SparkSession
 
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # 2 waves of shuffle tasks per core: stragglers overlap instead of
+    # tail-blocking the stage; AQE coalescing trims the excess when small
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
     # glibc malloc in the python workers must not mmap/munmap per Arrow
     # batch: at high task concurrency the kernel-side mmap lock + TLB
     # shootdowns serialize every worker on the box (measured 10-20x

@@ -49,10 +49,16 @@ def _save_segments(out_dir: str, state: dict) -> None:
 
 
 def ingest_batch(batch_df, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG,
-                 html_col: str | None = "html") -> dict:
+                 html_col: str | None = "html",
+                 batch_id: int | None = None) -> dict:
     """Append one micro-batch of pages as a new index segment. Returns the
     segment record. Driven by foreachBatch (or called directly for tests /
-    backfills)."""
+    backfills).
+
+    Idempotent per batch_id: foreachBatch replays a micro-batch when the
+    engine crashes between our segment commit and the streaming checkpoint
+    commit; a batch_id already recorded in segments.json is skipped instead
+    of being appended again with fresh docIDs (duplicate docs)."""
     from pyspark.sql import functions as F
 
     from pisa_spark.operators.postings import encode_postings_docwise
@@ -61,13 +67,17 @@ def ingest_batch(batch_df, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG,
 
     spark = batch_df.sparkSession
     state = _load_segments(out_dir)
+    if batch_id is not None:
+        for seg in state["segments"]:
+            if seg.get("batch_id") == batch_id:
+                return seg  # replayed micro-batch: already committed
     seg_id = len(state["segments"])
     base = state["next_base"]
     parts = max(spark.sparkContext.defaultParallelism // 2, 2)
 
     src = batch_df.select(F.col("url"),
                           F.col(html_col) if html_col else F.col("text"))
-    cuts = _sample_cuts(batch_df.select("url"), "url", parts)
+    cuts = _sample_cuts(batch_df.select("url"), "url", parts * 4)
     tokenized = doc_term_counts(src, cfg, html_col=html_col)
     with_ids, cache, meta = assign_rank_ids(
         tokenized, "url", "doc_id", cuts, parts,
@@ -79,30 +89,69 @@ def ingest_batch(batch_df, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG,
         return {}
     doc_terms = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
 
-    # lexicon delta: stable ids, new terms appended sorted
-    known = {}
+    # lexicon delta: stable ids, new terms appended with the next free ids.
+    # The batch vocabulary is anti-joined against the stored lexicon TABLE
+    # (never collected): only genuinely new terms need ids. Small deltas get
+    # a driver sort; web-scale deltas go through the distributed rank
+    # assignment offset by next_term_id.
     lex_path = os.path.join(out_dir, "lexicon_terms")
+    batch_vocab = (doc_terms.select(F.explode("terms").alias("term"))
+                   .distinct())
     if state["segments"]:
-        for r in spark.read.parquet(lex_path).collect():
-            known[r["term"]] = r["term_id"]
-    batch_terms = sorted(
-        r[0] for r in
-        doc_terms.select(F.explode("terms").alias("t")).distinct().collect())
-    new_terms = [t for t in batch_terms if t not in known]
+        known_df = spark.read.parquet(lex_path)
+        new_terms_df = batch_vocab.join(known_df.select("term"),
+                                        "term", "left_anti")
+    else:
+        known_df = None
+        new_terms_df = batch_vocab
     nxt = state["next_term_id"]
-    for t in new_terms:
-        known[t] = nxt
-        nxt += 1
-    if new_terms:
-        spark.createDataFrame(
-            [(t, known[t]) for t in new_terms], "term string, term_id long"
-        ).write.mode("append").parquet(lex_path)
+    n_new = new_terms_df.count()
+    if n_new == 0:
+        new_ids = None
+    elif n_new <= cfg.lexicon_broadcast_max:
+        terms = sorted(r[0] for r in new_terms_df.collect())
+        new_ids = spark.createDataFrame(
+            [(t, nxt + i) for i, t in enumerate(terms)],
+            "term string, term_id long")
+    else:
+        cuts = _sample_cuts(new_terms_df, "term", parts * 4)
+        with_tid, _lex_cache, _ = assign_rank_ids(
+            new_terms_df, "term", "term_id", cuts, parts)
+        new_ids = with_tid.withColumn(
+            "term_id", F.col("term_id") + F.lit(nxt))
+    if new_ids is not None:
+        new_ids.write.mode("append").parquet(lex_path)
+        if n_new > cfg.lexicon_broadcast_max:
+            _lex_cache.unpersist()
+    nxt += n_new
+    if nxt > 0:
+        spark.catalog.refreshByPath(lex_path)
+        lex_df = spark.read.parquet(lex_path)
+    else:  # every doc tokenized empty: no lexicon file yet
+        lex_df = spark.createDataFrame([], "term string, term_id long")
 
     seg_avg = dlen / n_docs if n_docs else 1.0
     stats = {"num_docs": n_docs, "collection_len": dlen,
              "avg_len": float(seg_avg)}
-    enc = encode_postings_docwise(doc_terms, known, cfg, stats,
-                                  num_partitions=parts)
+    n_vocab = nxt
+    if n_vocab <= cfg.lexicon_broadcast_max:
+        # broadcastable vocabulary: doc-wise encode (one slim shuffle)
+        vocab = {r["term"]: int(r["term_id"]) for r in lex_df.collect()}
+        enc = encode_postings_docwise(doc_terms, vocab, cfg, stats,
+                                      num_partitions=parts)
+    else:
+        # web-scale vocabulary: exploded path with a distributed term-id
+        # join (same shape as the batch build's non-broadcast path)
+        from pisa_spark.operators.postings import encode_postings
+
+        flat = doc_terms.select(
+            "doc_id", "doc_len",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("z")
+        ).select("doc_id", "doc_len", F.col("z.terms").alias("term"),
+                 F.col("z.tfs").cast("long").alias("tf"))
+        tf_full = (flat.join(lex_df, "term")
+                   .select("term_id", "doc_id", "tf", "doc_len"))
+        enc = encode_postings(tf_full, cfg, stats, num_partitions=parts)
     enc.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"postings/segment={seg_id}"))
     (doc_terms.select("doc_id", "url", "doc_len")
@@ -112,7 +161,8 @@ def ingest_batch(batch_df, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG,
 
     span = cfg.shard_span
     seg = {"segment": seg_id, "base": base, "n_docs": n_docs,
-           "collection_len": dlen, "avg_len": seg_avg}
+           "collection_len": dlen, "avg_len": seg_avg,
+           "batch_id": batch_id}
     state["segments"].append(seg)
     state["next_base"] = base + ((n_docs + span - 1) // span) * span
     state["next_term_id"] = nxt
@@ -130,7 +180,8 @@ def stream_index(pages_stream_df, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def handle(batch_df, batch_id: int) -> None:
-        ingest_batch(batch_df, out_dir, cfg, html_col=html_col)
+        ingest_batch(batch_df, out_dir, cfg, html_col=html_col,
+                     batch_id=batch_id)
 
     writer = (pages_stream_df.writeStream
               .foreachBatch(handle)

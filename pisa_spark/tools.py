@@ -55,16 +55,29 @@ def count_postings(index, queries: list[str]):
             .agg(F.sum("df").cast("long").alias("n_postings")))
 
 
-def scored_postings(index):
+def scored_postings(index, term_ids=None):
     """Flat (term_id, doc_id, tf, score float32) — every posting scored with
     the engine's exact float32 kernel. The doc_len comes from the docs
-    table; the scorer's per-term stats from the lexicon."""
+    table; the scorer's per-term stats from the lexicon.
+
+    term_ids (list | DataFrame | None): restrict to these terms. The filter
+    is applied to the ENCODED rows, before decode — mapInPandas is a
+    pushdown barrier, so callers that only need query-term postings
+    (intersection, kth_threshold) must not pay a whole-index decode."""
     from pyspark.sql import functions as F
 
     cfg = index.cfg
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
     stats = dict(index.stats)
-    flat = decode_postings(index.postings, cfg)
+    enc = index.postings
+    if term_ids is not None:
+        if isinstance(term_ids, (list, tuple, set)):
+            enc = enc.filter(F.col("term_id").isin(list(term_ids)))
+        else:  # DataFrame of term_id: broadcast semi-join below the decode
+            enc = enc.join(
+                F.broadcast(term_ids.select("term_id").distinct()),
+                "term_id", "left_semi")
+    flat = decode_postings(enc, cfg)
     joined = (flat
               .join(index.docs.select("doc_id", "doc_len"), "doc_id")
               .join(index.lexicon.select("term_id", "df", "cf"), "term_id"))
@@ -77,15 +90,12 @@ def scored_postings(index):
             part = scorer.doc_part(tf.to_numpy(), doc_len.to_numpy(),
                                    stats["avg_len"])
             return pd.Series(idf.astype(np.float32) * part)
-        out = np.empty(len(tf), dtype=np.float32)
-        tfa, dla = tf.to_numpy(), doc_len.to_numpy()
-        dfa, cfa = df.to_numpy(), cf.to_numpy()
-        for i in range(len(tf)):  # per-term stats vary row to row
-            out[i] = scorer.score(
-                tfa[i:i + 1], dla[i:i + 1], df=dfa[i], cf=cfa[i],
-                num_docs=stats["num_docs"], avg_len=stats["avg_len"],
-                collection_len=stats["collection_len"])[0]
-        return pd.Series(out)
+        # non-separable scorers accept per-row df/cf arrays
+        return pd.Series(scorer.score(
+            tf.to_numpy(), doc_len.to_numpy(),
+            df=df.to_numpy(), cf=cf.to_numpy(),
+            num_docs=stats["num_docs"], avg_len=stats["avg_len"],
+            collection_len=stats["collection_len"]).astype(np.float32))
 
     return joined.select(
         "term_id", "doc_id", "tf",
@@ -104,54 +114,98 @@ def thresholds(index, queries: list[str], k: int = 10,
             .select("qid", F.col("score").alias("threshold")))
 
 
-def kth_threshold(index, queries: list[str], k: int = 10):
-    """Threshold lower bound from single-term evidence: for each query,
-    max over its terms of the k-th best single-posting score (reference
-    tools/kth_threshold.cpp single-term estimate). Safe seed for
-    topk_search(thresholds=...)."""
+def kth_threshold(index, queries: list[str], k: int = 10,
+                  pairs: bool = False):
+    """Threshold lower bound per query (reference tools/kth_threshold.cpp):
+
+    - single-term estimate: max over the query's terms of the k-th best
+      single-posting score (kth_threshold.cpp single-term loop);
+    - with pairs=True, additionally the k-th best PAIRWISE intersection
+      score (sum of the two contributions per shared doc,
+      kth_threshold.cpp:52-90) — tighter on conjunctive-ish queries.
+
+    Both estimates are true scores of real docs, so the max is a safe
+    (rank-preserving) seed for topk_search(thresholds=...)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    sp = scored_postings(index)
+    qt = _qterms(index, queries).select("qid", "term_id").distinct()
+    # decode only the query vocabulary (filter pushed below the decode)
+    sp = scored_postings(index, term_ids=qt)
     w = W.partitionBy("term_id").orderBy(F.desc("score"), F.asc("doc_id"))
     kth_per_term = (sp.withColumn("_r", F.row_number().over(w))
                     .filter(F.col("_r") == k)
                     .select("term_id", F.col("score").alias("kth")))
-    return (_qterms(index, queries)
-            .join(kth_per_term, "term_id")
-            .groupBy("qid")
-            .agg(F.max("kth").alias("threshold")))
-
-
-def intersection(index, queries: list[str], max_terms: int = 2):
-    """Posting count + max score of every term PAIR (and singles) per query
-    (reference include/pisa/intersection.hpp Intersection::compute,
-    tools/compute_intersection.cpp with --combinations)."""
-    from pyspark.sql import functions as F
-
-    if max_terms != 2:
-        raise NotImplementedError("pairs (and singles) only")
-    sp = scored_postings(index)
-    qt = _qterms(index, queries).select("qid", "term_id").distinct()
-    qsp = qt.join(sp, "term_id").select(
-        "qid", "term_id", "doc_id", "score")
-    singles = qsp.groupBy("qid", "term_id").agg(
-        F.count("*").cast("long").alias("n_postings"),
-        F.max("score").alias("max_score"),
-    ).select("qid", F.col("term_id").alias("term_a"),
-             F.lit(None).cast("long").alias("term_b"),
-             "n_postings", "max_score")
+    est = (qt.join(kth_per_term, "term_id")
+           .groupBy("qid").agg(F.max("kth").alias("threshold")))
+    if not pairs:
+        return est
+    qsp = qt.join(sp, "term_id").select("qid", "term_id", "doc_id", "score")
     a = qsp.select("qid", F.col("term_id").alias("term_a"),
                    "doc_id", F.col("score").alias("score_a"))
     b = qsp.select("qid", F.col("term_id").alias("term_b"),
                    "doc_id", F.col("score").alias("score_b"))
-    pairs = (a.join(b, ["qid", "doc_id"])
-             .filter(F.col("term_a") < F.col("term_b"))
-             .groupBy("qid", "term_a", "term_b")
-             .agg(F.count("*").cast("long").alias("n_postings"),
-                  F.max(F.col("score_a") + F.col("score_b"))
-                  .alias("max_score")))
-    return singles.unionByName(pairs)
+    wp = W.partitionBy("qid", "term_a", "term_b").orderBy(
+        F.desc("pair_score"), F.asc("doc_id"))
+    pair_kth = (
+        a.join(b, ["qid", "doc_id"])
+        .filter(F.col("term_a") < F.col("term_b"))
+        .withColumn("pair_score",
+                    (F.col("score_a") + F.col("score_b")).cast("float"))
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") == k)
+        .groupBy("qid").agg(F.max("pair_score").alias("pair_threshold")))
+    return (est.join(pair_kth, "qid", "left")
+            .select("qid", F.greatest(
+                "threshold", F.coalesce("pair_threshold", F.lit(0.0)))
+                .cast("float").alias("threshold")))
+
+
+def intersection(index, queries: list[str], max_terms: int = 2):
+    """Posting count + max score of every term subset of size 1..max_terms
+    per query (reference include/pisa/intersection.hpp Intersection::compute
+    over bitmask subsets, tools/compute_intersection.cpp --combinations
+    --max-term-count).
+
+    Returns (qid, terms array<long> sorted, n_postings, max_score). Size-m
+    subsets build on size-(m-1) doc intersections by joining one more term's
+    postings per (qid, doc) — all JVM-side joins/aggregations; the decode
+    touches only the query vocabulary."""
+    from pyspark.sql import functions as F
+
+    if max_terms < 1:
+        raise ValueError("max_terms must be >= 1")
+    qt = _qterms(index, queries).select("qid", "term_id").distinct()
+    sp = scored_postings(index, term_ids=qt)
+    qsp = (qt.join(sp, "term_id")
+           .select("qid", "term_id", "doc_id", "score"))
+    if max_terms > 1:
+        qsp = qsp.persist()
+    cur = qsp.select(
+        "qid", "doc_id",
+        F.array("term_id").alias("terms"),
+        F.col("term_id").alias("_maxt"),
+        F.col("score").cast("double").alias("_s"))
+    levels = []
+    ext = qsp.select("qid", "doc_id",
+                     F.col("term_id").alias("_t"),
+                     F.col("score").cast("double").alias("_es"))
+    for m in range(1, max_terms + 1):
+        levels.append(
+            cur.groupBy("qid", "terms").agg(
+                F.count("*").cast("long").alias("n_postings"),
+                F.max("_s").alias("max_score")))
+        if m < max_terms:
+            cur = (cur.join(ext, ["qid", "doc_id"])
+                   .filter(F.col("_t") > F.col("_maxt"))
+                   .select("qid", "doc_id",
+                           F.array_append("terms", F.col("_t")).alias("terms"),
+                           F.col("_t").alias("_maxt"),
+                           (F.col("_s") + F.col("_es")).alias("_s")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def selective_queries(index, queries: list[str], max_ratio: float = 0.01):

@@ -1,7 +1,9 @@
 """Stage-level profiling of the index build at a given core count.
 
 Usage: python scripts/profile_build.py CORES [N_DOCS] [DRIVER_MEM]
-Prints per-stage wall seconds so scaling bottlenecks are attributable.
+Prints per-stage wall seconds (the build's own phase_seconds instrumentation,
+so the numbers always reflect the real build_index flow) plus the batch
+query throughput, so scaling bottlenecks are attributable per phase.
 """
 
 from __future__ import annotations
@@ -20,75 +22,37 @@ def main() -> None:
     mem = sys.argv[3] if len(sys.argv) > 3 else "8g"
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = mem
 
-    from pyspark.sql import functions as F
-
     from pisa_spark.config import IndexConfig
-    from pisa_spark.functions.scoring import make_scorer
-    from pisa_spark.operators.postings import encode_postings
-    from pisa_spark.plans.build import dense_ids, doc_term_counts
+    from pisa_spark.operators.topk import topk_search_batch
+    from pisa_spark.plans.build import build_index
     from pisa_spark.session import get_spark
     from pisa_spark.sources import webtext
 
-    spark = get_spark(app_name=f"profile-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+    spark = get_spark(app_name=f"profile-{cores}", cores=cores)
     path = f"/root/repo/.cache/bench_corpus_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         webtext.generate(spark, n_docs, seed=13).write.mode(
             "overwrite").parquet(path)
     pages = spark.read.parquet(path)
     spark.range(1).count()
-    stages = {}
     cfg = IndexConfig(shard_span=1 << 14)
 
-    t = time.time()
-    src = pages.filter(F.col("lang") == "en").select("url", "html")
-    with_ids, cached = dense_ids(src, "url", "doc_id")
-    stages["1_dense_ids_materialize"] = round(time.time() - t, 2)
+    t0 = time.time()
+    idx = build_index(pages, cfg, html_col="html", eager=True)
+    build_s = time.time() - t0
 
-    t = time.time()
-    doc_terms = doc_term_counts(with_ids, cfg, html_col="html").persist()
-    doc_terms.count()
-    stages["2_extract_tokenize"] = round(time.time() - t, 2)
+    queries = webtext.synth_queries(100, seed=29)
+    t0 = time.time()
+    topk_search_batch(idx, queries, k=10,
+                      algorithm="block_max_wand").count()
+    query_s = time.time() - t0
 
-    t = time.time()
-    agg = doc_terms.agg(F.count("*").alias("n"),
-                        F.sum("doc_len").alias("total")).collect()[0]
-    stats = {"num_docs": int(agg["n"]),
-             "collection_len": int(agg["total"]),
-             "avg_len": float(agg["total"]) / int(agg["n"])}
-    stages["3_stats"] = round(time.time() - t, 2)
-
-    flat_terms = doc_terms.select(
-        "doc_id", "doc_len",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("z")
-    ).select("doc_id", "doc_len", F.col("z.terms").alias("term"),
-             F.col("z.tfs").cast("long").alias("tf"))
-
-    t = time.time()
-    terms_distinct = flat_terms.select("term").distinct()
-    lexicon_base, _ = dense_ids(terms_distinct, "term", "term_id")
-    lexicon_base = lexicon_base.persist()
-    lexicon_base.count()
-    stages["4_lexicon"] = round(time.time() - t, 2)
-
-    t = time.time()
-    tf_full = (flat_terms.join(lexicon_base, "term")
-               .select("term_id", "doc_id", "tf", "doc_len"))
-    postings = encode_postings(tf_full, cfg, stats).persist()
-    postings.count()
-    stages["5_encode_postings"] = round(time.time() - t, 2)
-
-    t = time.time()
-    term_stats = (tf_full.groupBy("term_id")
-                  .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
-    mp = postings.groupBy("term_id").agg(
-        F.max(F.array_max("block_max_part")).alias("max_part"))
-    lexicon_base.join(term_stats, "term_id").join(mp, "term_id").count()
-    stages["6_term_meta"] = round(time.time() - t, 2)
-
-    total = sum(stages.values())
-    print(json.dumps({"cores": cores, "n_docs": n_docs, "mem": mem,
-                      "stages": stages, "total": round(total, 2)}))
+    print(json.dumps({
+        "cores": cores, "n_docs": n_docs, "mem": mem,
+        "stages": idx.stats.get("phase_seconds", {}),
+        "build_total": round(build_s, 2),
+        "batch_100q_seconds": round(query_s, 2),
+    }))
 
 
 if __name__ == "__main__":

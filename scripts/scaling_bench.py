@@ -89,7 +89,6 @@ def worker(cores: int, n_docs: int) -> None:
 
     spark = get_spark(
         app_name=f"pisa-scale-{cores}", cores=cores,
-        shuffle_partitions=max(cores, 8),
         extra={  # pre-fault the heap outside the timed region
             "spark.driver.extraJavaOptions": "-Xms18g -XX:+AlwaysPreTouch"})
     corpus = f"/dev/shm/pisa-bench/bench_corpus_{n_docs}"

@@ -63,3 +63,71 @@ def test_tf_roundtrip(tfs):
 def test_varint_count_mismatch_raises():
     with pytest.raises(ValueError):
         varint_decode(varint_encode(np.array([1, 2], dtype=np.uint64)), 3)
+
+
+# ------------------------------------------------- fixed-width bitpack (bp)
+
+@given(st.lists(st.integers(0, 2**40), min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_bp_roundtrip(values):
+    from pisa_spark.operators.codecs import bp_decode, bp_encode
+
+    arr = np.array(values, dtype=np.uint64)
+    assert (bp_decode(bp_encode(arr)) == arr).all()
+
+
+@given(st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_bp128_gap_stream_roundtrip(docs):
+    arr = np.sort(np.array(docs, dtype=np.int64))
+    base = int(arr[0]) - 1
+    buf = encode_gap_stream(arr, base, "bp128")
+    assert (decode_gap_stream(buf, base, "bp128", len(arr)) == arr).all()
+
+
+def test_bp128_beats_varint_on_dense_runs():
+    """Dense gap-1 runs pack at 1 bit/posting vs >= 8 for byte varints
+    (the compression rationale of the reference's SIMD-BP128 default)."""
+    docs = np.arange(1000, 2000, dtype=np.int64)
+    bp = encode_gap_stream(docs, 999, "bp128")
+    vi = encode_gap_stream(docs, 999, "varint")
+    assert len(bp) < len(vi) / 4
+
+
+# --------------------------------------------- variable blocks (VBMW DP)
+
+def test_variable_boundaries_objective_and_span():
+    from pisa_spark.operators.postings import _variable_boundaries
+
+    rng = np.random.default_rng(13)
+    bsz, quantum = 64, 16
+    for _ in range(10):
+        n = int(rng.integers(quantum + 1, 2000))
+        # skewed scores: a few heavy postings among a flat mass
+        part = rng.random(n).astype(np.float32) * 0.1
+        heavy = rng.integers(0, n, size=max(1, n // 50))
+        part[heavy] = rng.random(heavy.size).astype(np.float32) * 5.0
+
+        starts = _variable_boundaries(part, bsz, quantum)
+        ends = np.append(starts[1:], n)
+        assert starts[0] == 0
+        assert (np.diff(starts) > 0).all()
+        assert ((ends - starts) <= 2 * bsz).all()
+
+        def objective(st_, lam):
+            en_ = np.append(st_[1:], n)
+            lost = sum(
+                float(part[s:e].max()) * (e - s) - float(part[s:e].sum())
+                for s, e in zip(st_, en_))
+            return lost + lam * len(st_)
+
+        # recover the self-tuned lambda to compare objectives fairly
+        fixed = np.arange(0, n, bsz, dtype=np.int64)
+        fends = np.append(fixed[1:], n)
+        lost_fixed = sum(
+            float(part[s:e].max()) * (e - s) - float(part[s:e].sum())
+            for s, e in zip(fixed, fends))
+        lam = max(1e-9, 0.25 * lost_fixed / fixed.size)
+        # the DP must never be worse than the fixed partition (fixed
+        # boundaries all sit on the quantum grid when bsz % quantum == 0)
+        assert objective(starts, lam) <= objective(fixed, lam) + 1e-6

@@ -135,3 +135,47 @@ def test_multimodal_plumbing(spark):
     assert (frames.frame_ts_ms >= 0).all()
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, deterministic_features=False)
+
+
+def test_embedding_neardup_bucketed_matches_exact(spark):
+    """The bucketed (LSH + exact rerank) plan must reproduce the all-pairs
+    result on data with planted near-duplicates: rerank makes every cosine
+    exact, and the probe count is sized for full recall here."""
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, base[i].tolist())); vid += 1
+        if i % 5 == 0:  # planted near-dup: tiny perturbation
+            pert = base[i] + rng.standard_normal(16).astype(np.float32) * 0.02
+            rows.append((vid, pert.tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.vec_a, r.vec_b, r.cosine) for r in
+             dedup.embedding_neardup_pairs(df, threshold=0.9,
+                                           exact=True).collect()}
+    bucketed = {(r.vec_a, r.vec_b, r.cosine) for r in
+                dedup.embedding_neardup_pairs(df, threshold=0.9,
+                                              n_planes=4, probes=12,
+                                              dim=16).collect()}
+    assert exact, "planted dups must qualify"
+    assert bucketed == exact
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
+    """Heavy-shingle cap: a token present in every doc must not create
+    O(N^2) candidate pairs; with the cap the boilerplate-only pairs vanish
+    while true near-dups (sharing rare shingles) survive."""
+    rows = [(i, f"boilerplate common rare{i // 2} word{i}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, shingle_n=1,
+                                         threshold=0.2).toPandas()
+    capped = dedup.ngram_jaccard_pairs(df, shingle_n=1, threshold=0.2,
+                                       max_shingle_df=2).toPandas()
+    # cap=2 keeps only the rare{i//2} and word{i} shingles: exactly the
+    # consecutive-pair docs intersect
+    got = {(r.doc_a, r.doc_b) for r in capped.itertuples()}
+    assert got == {(2 * i, 2 * i + 1) for i in range(10)}
+    # uncapped sees the boilerplate intersection on every pair
+    assert len(uncapped) > len(capped)

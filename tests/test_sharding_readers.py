@@ -94,3 +94,84 @@ Poliomyelitis and Post-Polio
                   "302:Poliomyelitis and Post-Polio"]
     descs = parse_trec_topics(text, field="desc")
     assert descs[0].startswith("301:Identify organizations")
+
+
+# ------------------------------------------------- Taily gamma-tail model
+
+def test_gammaincc_known_values():
+    """Q(1,x)=e^-x; Q(k,x) for integer k equals the Poisson CDF sum."""
+    import math
+
+    from pisa_spark.functions.gamma import gammaincc
+
+    for x in (0.1, 1.0, 3.0, 10.0):
+        assert abs(gammaincc(1.0, x) - math.exp(-x)) < 1e-12
+    # Q(3, x) = e^-x (1 + x + x^2/2)
+    for x in (0.5, 2.0, 7.0):
+        want = math.exp(-x) * (1 + x + x * x / 2)
+        assert abs(gammaincc(3.0, x) - want) < 1e-12
+    assert gammaincc(2.5, 0.0) == 1.0
+
+
+def test_gamma_tail_inverse_roundtrip():
+    from pisa_spark.functions.gamma import gamma_tail_count, gamma_tail_inverse
+
+    any_c, k, theta = 5000.0, 2.3, 1.7
+    for n_c in (1.0, 10.0, 100.0):
+        s = gamma_tail_inverse(any_c, k, theta, n_c)
+        assert abs(gamma_tail_count(any_c, k, theta, s) - n_c) < 1e-3 * n_c
+    # fewer docs than n_c -> threshold 0
+    assert gamma_tail_inverse(5.0, k, theta, 10.0) == 0.0
+
+
+def test_taily_thresholds_and_gamma_select(spark, index):
+    from pisa_spark.operators.sharding import (taily_select_gamma,
+                                               taily_thresholds)
+
+    queries = webtext.synth_queries(6, seed=29)
+    stats = taily_shard_stats(index).persist()
+    thr = {r["qid"]: r["threshold"]
+           for r in taily_thresholds(index, queries, n_c=10,
+                                     shard_stats=stats).collect()}
+    thr_loose = {r["qid"]: r["threshold"]
+                 for r in taily_thresholds(index, queries, n_c=50,
+                                           shard_stats=stats).collect()}
+    assert thr
+    for qid, t in thr.items():
+        assert t >= 0.0
+        # deeper rank target => lower (or equal) estimated score cutoff
+        assert thr_loose[qid] <= t + 1e-9
+
+    sel = taily_select_gamma(index, queries, n_shards_out=2, n_c=10,
+                             shard_stats=stats).collect()
+    by_q = {}
+    for r in sel:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) <= 2
+        assert all(r["est_above"] >= 0.0 for r in rows)
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+    stats.unpersist()
+
+
+def test_taily_threshold_tracks_truth(spark, index):
+    """The gamma estimate of the k-th score should land within a small
+    factor of the true k-th BM25 score on conjunctive-ish queries (it is
+    an estimator, not a bound — assert order-of-magnitude quality)."""
+    from pisa_spark.operators.topk import topk_search
+    from pisa_spark.operators.sharding import taily_thresholds
+
+    queries = webtext.synth_queries(6, seed=29)
+    true_kth = {r["qid"]: float(r["score"])
+                for r in topk_search(index, queries, k=10,
+                                     with_urls=False).collect()
+                if r["rank"] == 10}
+    est = {r["qid"]: float(r["threshold"])
+           for r in taily_thresholds(index, queries, n_c=10).collect()}
+    checked = 0
+    for qid, t in true_kth.items():
+        if est.get(qid, 0.0) > 0:
+            assert 0.1 * t < est[qid] < 10 * t, (qid, t, est[qid])
+            checked += 1
+    assert checked >= 2

@@ -86,3 +86,49 @@ def test_stream_index_readstream(spark, corpus, tmp_path):
     assert sidx.stats["num_docs"] == 60
     res = topk_search(sidx, webtext.synth_queries(5, seed=3), k=5)
     assert res.count() > 0
+
+
+def test_incremental_large_vocab_path(spark, corpus):
+    """With lexicon_broadcast_max shrunk below the vocab size, ingest takes
+    the distributed lexicon-delta + exploded-encode path (no driver-side
+    vocab dict); results must stay rank-identical to the broadcast path."""
+    import tempfile
+
+    small = IndexConfig(shard_span=64, lexicon_broadcast_max=5)
+    with tempfile.TemporaryDirectory() as out:
+        pages = extract_pages(corpus, small).orderBy("url").limit(120).collect()
+        half = len(pages) // 2
+        for rows in (pages[:half], pages[half:]):
+            bdf = spark.createDataFrame(rows, "url string, text string")
+            seg = ingest_batch(bdf, out, small, html_col=None)
+            assert seg["n_docs"] == len(rows)
+        sidx = load_stream_index(spark, out, small)
+        # term_ids must be dense and unique across the two deltas
+        lex = sidx.lexicon.select("term", "term_id").collect()
+        ids = sorted(r["term_id"] for r in lex)
+        assert ids == list(range(len(ids)))
+        queries = webtext.synth_queries(10, seed=7)
+        got = topk_search(sidx, queries, k=10, algorithm="block_max_wand")
+        bdf_all = spark.createDataFrame(pages, "url string, text string")
+        bidx = build_index(bdf_all, IndexConfig(shard_span=64))
+        want = topk_search(bidx, queries, k=10, algorithm="block_max_wand")
+        gk = sorted((r.qid, r.rank, r.url, round(float(r.score), 4))
+                    for r in got.collect())
+        wk = sorted((r.qid, r.rank, r.url, round(float(r.score), 4))
+                    for r in want.collect())
+        assert gk == wk
+
+
+def test_ingest_batch_idempotent_per_batch_id(spark, corpus):
+    """A replayed micro-batch (same batch_id) must not append a duplicate
+    segment (foreachBatch crash-replay safety)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as out:
+        pages = extract_pages(corpus, CFG).limit(40).collect()
+        bdf = spark.createDataFrame(pages, "url string, text string")
+        seg1 = ingest_batch(bdf, out, CFG, html_col=None, batch_id=0)
+        seg2 = ingest_batch(bdf, out, CFG, html_col=None, batch_id=0)  # replay
+        assert seg2["segment"] == seg1["segment"]
+        sidx = load_stream_index(spark, out, CFG)
+        assert sidx.stats["num_docs"] == len(pages)

@@ -108,15 +108,47 @@ def test_kth_threshold_is_safe_seed(index, queries):
             assert t <= truth[qid] + 1e-6
 
 
-def test_intersection_pairs(index, queries):
-    out = tools.intersection(index, queries[:2]).collect()
-    singles = [r for r in out if r["term_b"] is None]
-    pairs = [r for r in out if r["term_b"] is not None]
-    assert singles and pairs
-    by_term = {r["term_a"]: r["n_postings"] for r in singles}
-    for p in pairs:  # |A ∩ B| <= min(|A|, |B|)
-        assert p["n_postings"] <= min(by_term[p["term_a"]],
-                                      by_term[p["term_b"]])
+def test_intersection_subsets(index, queries):
+    """Arbitrary-subset Intersection::compute (intersection.hpp:13-97):
+    counts must be monotone non-increasing as terms are added, and subset
+    max_score must not exceed the sum of member singles' max scores."""
+    out = tools.intersection(index, queries[:2], max_terms=3).collect()
+    by_subset = {(r["qid"], tuple(r["terms"])): r for r in out}
+    sizes = {len(r["terms"]) for r in out}
+    assert 1 in sizes and 2 in sizes
+    for r in out:
+        terms = tuple(r["terms"])
+        assert list(terms) == sorted(terms)
+        if len(terms) == 1:
+            continue
+        for drop in range(len(terms)):
+            sub = terms[:drop] + terms[drop + 1:]
+            parent = by_subset[(r["qid"], sub)]
+            assert r["n_postings"] <= parent["n_postings"]
+        single_sum = sum(
+            by_subset[(r["qid"], (t,))]["max_score"] for t in terms)
+        assert r["max_score"] <= single_sum + 1e-4
+
+
+def test_kth_threshold_pairs_safe_and_tighter(index, queries):
+    """Pair-seeded thresholds stay rank-identical and are >= the
+    single-term estimate (kth_threshold.cpp:52-90 pairwise evidence)."""
+    single = {r["qid"]: float(r["threshold"])
+              for r in tools.kth_threshold(index, queries[:6], k=K).collect()}
+    both = {r["qid"]: float(r["threshold"])
+            for r in tools.kth_threshold(index, queries[:6], k=K,
+                                         pairs=True).collect()}
+    for qid, t in both.items():
+        assert t >= single[qid] - 1e-6
+    base = topk_search(index, queries[:6], k=K, with_urls=False).collect()
+    seeded = topk_search(index, queries[:6], k=K, with_urls=False,
+                         thresholds=both).collect()
+    key = lambda rows: sorted((r.qid, r.rank, r.doc_id) for r in rows)
+    assert key(base) == key(seeded)
+    truth = {r["qid"]: r["score"] for r in base if r["rank"] == K}
+    for qid, t in both.items():
+        if qid in truth:
+            assert t <= truth[qid] + 1e-6
 
 
 def test_selective_queries(index, queries):

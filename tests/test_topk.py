@@ -180,3 +180,26 @@ def test_batch_executor_identity(index, queries):
         b = key(topk_search_batch(index, queries, k=K,
                                   algorithm=alg).collect())
         assert a == b, alg
+
+
+@pytest.mark.parametrize("variant", [
+    {"codec": "bp128"},
+    {"block_partition": "variable"},
+    {"codec": "bp128", "block_partition": "variable"},
+])
+def test_layout_variants_rank_identity(spark, corpus, queries,
+                                       oracle_results, variant):
+    """Physical-layout variants (bitpacked blocks, VBMW variable blocks)
+    must be result-invariant — the reference's encodings.sh property
+    (all 14 codecs produce identical rankings)."""
+    cfg = IndexConfig(shard_span=64, **variant)
+    idx = build_index(extract_pages(spark.createDataFrame(corpus), cfg), cfg)
+    out = topk_search(idx, queries, k=K, algorithm="block_max_wand",
+                      range_span=128).toPandas()
+    got = {
+        q: [(r.doc_id, r.score) for r in g.sort_values("rank").itertuples()]
+        for q, g in out.groupby("qid")
+    }
+    assert set(got) == set(oracle_results)
+    for q in oracle_results:
+        assert got[q] == oracle_results[q], f"query {q} variant {variant}"
