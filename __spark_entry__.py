@@ -278,9 +278,12 @@ def _q_minhash_sigs(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from pisa_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+    return simhash_pairs(_documents(spark, sf_dir), max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_embedding_neardup(spark, sf_dir):
@@ -460,6 +463,36 @@ def _q_stemmed_token_stats(spark, sf_dir):
         F.size(F.array_distinct("terms")).cast("long").alias("n_stems"))
 
 
+def _q_taily_thresholds(spark, sf_dir):
+    """Taily gamma-model score-threshold estimates (rows-only: the gamma
+    tail inverse has no SQL form; estimator quality pinned by
+    tests/test_sharding_readers)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.sharding import taily_thresholds
+
+    idx = _get_index(spark, sf_dir)
+    return taily_thresholds(idx, QUERY_SET, n_c=10).select(
+        "qid", F.round("threshold", 4).alias("threshold"))
+
+
+def _q_profile_queries(spark, sf_dir):
+    """Per-(query, shard) execution counters (rows-only: counters are
+    engine-internal; invariants pinned by tests/test_tools_eval)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import profile_queries
+
+    idx = _get_index(spark, sf_dir)
+    return (profile_queries(idx, QUERY_SET, k=10,
+                            algorithm="block_max_wand")
+            .groupBy("qid")
+            .agg(F.sum("postings_decoded").alias("postings_decoded"),
+                 F.sum("docs_scored").alias("docs_scored"),
+                 F.sum("ranges").alias("ranges"),
+                 F.sum("ranges_skipped").alias("ranges_skipped")))
+
+
 def _q_taily_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -503,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_eval": _q_trec_eval,
         "stemmed_token_stats": _q_stemmed_token_stats,
         "taily_stats": _q_taily_stats,
+        "profile_queries": _q_profile_queries,
+        "taily_thresholds": _q_taily_thresholds,
     }
 
 
@@ -520,10 +555,17 @@ def _hash60_sql(expr: str) -> str:
 
 
 def _minhash_sig_exprs() -> list[str]:
+    """Mirror dedup.minhash_signatures: one md5 per shingle, universal-hash
+    mixes over its 30-bit halves (same seeded constants, same prime)."""
+    from pisa_spark.operators.dedup import MINHASH_PRIME, _minhash_mix
+
+    mix = _minhash_mix(N_MINHASH)
+    h = _hash60_sql("s")
     return [
         f"list_min(list_transform(sh, s -> "
-        + _hash60_sql(f"concat('{i}:', s)") + f")) as s{i}"
-        for i in range(N_MINHASH)
+        f"({a} * ({h} >> 30) + {b} * ({h} & {(1 << 30) - 1}) + {c}) "
+        f"% {MINHASH_PRIME})) as s{i}"
+        for i, (a, b, c) in enumerate(mix)
     ]
 
 
@@ -545,6 +587,37 @@ def _minhash_base_cte() -> str:
 shl as (select doc_id, {sh} as sh from documents),
 shf as (select doc_id, sh from shl where len(sh) > 0),
 sigs as (select doc_id, {sig_cols} from shf)
+"""
+
+
+def _simhash_sql() -> str:
+    """60-bit SimHash in SQL, mirroring dedup._simhash_batch bit-for-bit:
+    per-term md5-derived 60-bit hash, tf-weighted +/-1 votes per bit,
+    sign bits reassembled; pairs via the exact 4x15-bit pigeonhole join."""
+    h = _hash60_sql("term")
+    votes = ",\n    ".join(
+        f"sum(cnt * (case when (h >> {b}) & 1 = 1 then 1 else -1 end)) as v{b}"
+        for b in range(60))
+    asm = " + ".join(
+        f"(case when v{b} > 0 then 1::bigint else 0::bigint end << {b})"
+        for b in range(60))
+    return f"""
+with tf as (select doc_id, term, count(*) as cnt
+            from (select doc_id, unnest({TOKS_SQL}) as term from documents)
+            group by doc_id, term),
+th as (select doc_id, cnt, {h} as h from tf),
+votes as (select doc_id, {votes} from th group by doc_id),
+shv as (select doc_id, ({asm}) as simhash from votes),
+sh as (select d.doc_id, coalesce(shv.simhash, 0::bigint) as simhash
+       from documents d left join shv on d.doc_id = shv.doc_id),
+chunks as (select doc_id, simhash, c.c as chunk,
+                  (simhash >> (c.c * 15)) & 32767 as cval
+           from sh cross join (select unnest(range(4)) as c) c)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       bit_count(xor(a.simhash, b.simhash))::bigint as hamming
+from chunks a join chunks b
+  on a.chunk = b.chunk and a.cval = b.cval and a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -797,6 +870,7 @@ from inter join sizes sa on doc_a = sa.doc_id
            join sizes sb on doc_b = sb.doc_id
 where round(n_inter / (sa.n + sb.n - n_inter), 6) >= {JACCARD_THRESHOLD}
 """,
+        "simhash_pairs": _simhash_sql(),
         "minhash_lsh_pairs": f"""
 with {_minhash_base_cte()},
 bands as ({bands_union})

@@ -47,7 +47,9 @@ def build_bench(spark, n_docs: int) -> dict:
     from pisa_spark.sources import webtext
     from scripts.scaling_bench import warm_python_workers
 
-    cfg = IndexConfig(shard_span=1 << 14)
+    # ~30 shards at 60k docs: encode/query parallelism above the core
+    # count (at real scale shards >> cores for any span; see scaling_bench)
+    cfg = IndexConfig(shard_span=1 << 11)
     pages = _corpus(spark, n_docs,
                     f"/root/repo/.cache/bench_corpus_{n_docs}")
     # untimed warm-up: python-worker pool + JIT over the same code paths

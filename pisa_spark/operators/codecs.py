@@ -186,7 +186,13 @@ def bp_decode(buf: bytes) -> np.ndarray:
 
 # ------------------------------------------------------- posting-row codecs
 
-CODECS = ("varint", "ef", "bp128")
+CODECS = ("varint", "ef", "bp128", "opt")
+
+# per-block optimal dispatch: each block is encoded with whichever base
+# codec is smallest and tagged with one byte — the role of the reference's
+# OptPFD/partitioned-EF family (pick the cheapest representation per block)
+# re-expressed as a dispatch over this engine's three base codecs.
+_OPT_CODECS = ("varint", "ef", "bp128")
 
 
 def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
@@ -201,6 +207,12 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "bp128":
         gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
         return bp_encode(gaps)
+    if codec == "opt":
+        best_i, best = min(
+            ((i, encode_gap_stream(d, base, c))
+             for i, c in enumerate(_OPT_CODECS)),
+            key=lambda t: len(t[1]))
+        return bytes([best_i]) + best
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -218,6 +230,8 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         if count is not None and gaps.size != count:
             raise ValueError("bp128 stream count mismatch")
         return np.cumsum(gaps + 1) + base
+    if codec == "opt":
+        return decode_gap_stream(buf[1:], base, _OPT_CODECS[buf[0]], count)
     raise ValueError(f"unknown codec {codec!r}")
 
 

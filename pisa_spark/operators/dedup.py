@@ -27,6 +27,21 @@ from pisa_spark.operators.textstats import english_tokens_col
 N_MINHASH = 16
 N_BANDS = 4
 
+# Universal-hash mixing constants for the MinHash family: ONE md5 per
+# shingle, then h_i = (a_i*hi + b_i*lo + c_i) mod M over the md5's 30-bit
+# halves — 16x fewer digest evaluations than md5-per-i, identical
+# cross-engine (plain int64 arithmetic, no overflow: every intermediate
+# < 2^63). Constants are seeded so the SQL oracle regenerates them.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _minhash_mix(n: int, seed: int = 0x9150A) -> list[tuple[int, int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 31), rng.randrange(1, 1 << 31),
+             rng.randrange(0, 1 << 60)) for _ in range(n)]
+
 
 def _hash60(col):
     """First 15 hex chars of md5 as a non-negative int64 (engine-portable)."""
@@ -55,7 +70,9 @@ def exact_duplicates(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text",
                        n_hashes: int = N_MINHASH, shingle_n: int = 3):
-    """(doc_id, sig array<long>): min over shingles of md5(i ':' shingle).
+    """(doc_id, sig array<long>): min over shingles of the i-th universal
+    hash of md5(shingle) — one digest per shingle, n_hashes arithmetic
+    mixes (see MINHASH_PRIME/_minhash_mix).
 
     Computed as explode -> n_hashes scalar hash columns -> groupBy-min:
     a partial-aggregated shuffle on doc_id, no per-row signature arrays
@@ -65,10 +82,19 @@ def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text",
     sh_flat = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(toks, shingle_n)).alias("s"))
+    mix = _minhash_mix(n_hashes)
+    base = _hash60(F.col("s"))
     hashed = sh_flat.select(
+        "doc_id", base.alias("_h")
+    ).select(
         "doc_id",
-        *[_hash60(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
-          for i in range(n_hashes)])
+        F.shiftright("_h", 30).alias("_hi"),
+        F.col("_h").bitwiseAND(F.lit((1 << 30) - 1)).alias("_lo"),
+    ).select(
+        "doc_id",
+        *[F.pmod(F.lit(a) * F.col("_hi") + F.lit(b) * F.col("_lo") + F.lit(c),
+                 F.lit(MINHASH_PRIME)).alias(f"h{i}")
+          for i, (a, b, c) in enumerate(mix)])
     return (
         hashed.groupBy("doc_id")
         .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(n_hashes)])

@@ -255,7 +255,15 @@ def _conjunction_docs(runs: list[_TermRun], lo: int, hi: int) -> np.ndarray:
 
 def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
                 doc_lens: np.ndarray, shard_base: int, range_span: int,
-                theta0: float, n_query_terms: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+                theta0: float, n_query_terms: int | None = None,
+                counters: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """counters (optional dict) accumulates the reference profile_queries
+    metrics: ranges visited/skipped, docs actually scored; posting/block
+    decode counts are read off the runs afterwards (see profile_queries)."""
+    c = counters if counters is not None else {}
+    c.setdefault("ranges", 0)
+    c.setdefault("ranges_skipped", 0)
+    c.setdefault("docs_scored", 0)
     shard_end = shard_base + doc_lens.size
     topk = _TopK(k, theta0)
     if algorithm in ("ranked_and", "block_max_ranked_and"):
@@ -267,6 +275,7 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
         all_docs = np.unique(np.concatenate([r.decode_all()[0] for r in runs]))
         scores = _canonical_scores(all_docs, runs, scorer, stats, doc_lens,
                                    shard_base)
+        c["docs_scored"] += int(all_docs.size)
         pos = scores > 0  # reference finalize() drops <= 0 (topk_queue.hpp:77)
         topk.merge(all_docs[pos], scores[pos])
         return topk.docs, topk.scores
@@ -288,7 +297,9 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
         else:
             ubs = np.array([run.range_ub(lo, hi) for run in runs], dtype=F32)
         order = np.argsort(ubs, kind="stable")
+        c["ranges"] += 1
         if ubs.sum(dtype=F32) < prune or not (ubs > 0).any():
+            c["ranges_skipped"] += 1
             continue  # whole range cannot beat theta (block-max range skip)
 
         if algorithm in ("block_max_wand", "wand"):
@@ -346,6 +357,7 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
             continue
         scores = _canonical_scores(cand, runs, scorer, stats, doc_lens,
                                    shard_base)
+        c["docs_scored"] += int(cand.size)
         keep = (scores >= topk.theta) & (scores > 0)
         topk.merge(cand[keep], scores[keep])
     return topk.docs, topk.scores
@@ -431,6 +443,69 @@ def topk_search(index, queries: list[str] | object, k: int = 10,
         ranked.join(index.docs.select("doc_id", "url"), "doc_id")
         .select("qid", "doc_id", "url", "score", "rank")
     )
+
+
+PROFILE_SCHEMA = ("qid string, shard_id long, postings_decoded long, "
+                  "blocks_decoded long, docs_scored long, ranges long, "
+                  "ranges_skipped long")
+
+
+def profile_queries(index, queries: list[str] | object, k: int = 10,
+                    algorithm: str = "block_max_wand",
+                    range_span: int = 16384):
+    """Per-(query, shard) execution counters (reference
+    tools/profile_queries.cpp: its block_freq_index counts postings/blocks
+    touched per query; here the kernels count ranges visited/skipped and
+    docs fully scored, and posting/block decode counts are read off the
+    lazily-decoded runs after the kernel returns).
+
+    Returns (qid, shard_id, postings_decoded, blocks_decoded, docs_scored,
+    ranges, ranges_skipped) — aggregate over shard_id for per-query totals.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    algorithm = _ALGORITHM_ALIASES.get(algorithm, algorithm)
+    cfg = index.cfg
+    spark = index.lexicon.sparkSession
+    stats = dict(index.stats)
+    scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    qterms = (make_query_terms_df(spark, queries, cfg)
+              if isinstance(queries, list) else queries)
+    q = qterms.join(index.lexicon.select("term", "term_id", "df", "cf"),
+                    "term")
+    q = q.withColumn("n_query_terms",
+                     F.count("*").over(W.partitionBy("qid")).cast("int"))
+    joined = (
+        F.broadcast(q).join(index.postings, "term_id")
+        .join(index.shards.select("shard_id", "base_doc", "doc_lens")
+              .withColumnRenamed("base_doc", "shard_base"), "shard_id")
+    )
+    codec = cfg.codec
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid, shard_id = key[0], int(key[1])
+        doc_lens = np.asarray(pdf["doc_lens"].iat[0], dtype=np.int64)
+        shard_base = int(pdf["shard_base"].iat[0])
+        runs = [_TermRun(row, scorer, stats, float(row.weight), False, codec)
+                for row in pdf.itertuples(index=False)]
+        counters: dict = {}
+        _run_kernel(algorithm, runs, k, scorer, stats, doc_lens, shard_base,
+                    range_span, 0.0,
+                    n_query_terms=int(pdf["n_query_terms"].iat[0]),
+                    counters=counters)
+        decoded = [r for r in runs if r._docs is not None]
+        return pd.DataFrame({
+            "qid": [qid], "shard_id": [shard_id],
+            "postings_decoded": [sum(r.n for r in decoded)],
+            "blocks_decoded": [sum(int(r.blk_last.size) for r in decoded)],
+            "docs_scored": [counters["docs_scored"]],
+            "ranges": [counters["ranges"]],
+            "ranges_skipped": [counters["ranges_skipped"]],
+        })
+
+    return joined.groupBy("qid", "shard_id").applyInPandas(
+        kernel, schema=PROFILE_SCHEMA)
 
 
 def topk_search_batch(index, queries: list[str], k: int = 10,

@@ -427,19 +427,21 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     if manifest and manifest.done("lexicon_base"):
         lexicon_base = manifest.read_df(spark, "lexicon_base")
     else:
-        terms_distinct = (flat_terms.select("term").distinct()
-                          .persist(StorageLevel.MEMORY_AND_DISK_DESER))
-        n_terms = terms_distinct.count()
-        if n_terms <= cfg.lexicon_broadcast_max:
-            # small vocabulary: one collect + a broadcast-sized local sort
-            # replaces the distributed rank assignment's 3 extra jobs.
-            # Web-scale vocabularies (>max) take the distributed path.
-            vocab = sorted(r[0] for r in terms_distinct.collect())
+        terms_distinct = flat_terms.select("term").distinct()
+        # optimistic limited collect: ONE job decides small-vs-web-scale
+        # vocabulary AND fetches it when small (replaces count + collect +
+        # cache build on the common path; a too-big vocabulary costs one
+        # wasted limited job and falls through to the distributed ranking)
+        probe = terms_distinct.limit(cfg.lexicon_broadcast_max + 1).collect()
+        if len(probe) <= cfg.lexicon_broadcast_max:
+            vocab = sorted(r[0] for r in probe)
             vocab_map = {t: i for i, t in enumerate(vocab)}
             lex_with_ids = spark.createDataFrame(
                 list(zip(vocab, range(len(vocab)))),
                 "term string, term_id long")
         else:
+            terms_distinct = terms_distinct.persist(
+                StorageLevel.MEMORY_AND_DISK_DESER)
             term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
             lex_with_ids, _lex_cache, _ = assign_rank_ids(
                 terms_distinct, "term", "term_id", term_cuts, parts)
@@ -475,6 +477,34 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
         tf_full = tf_full.join(term_stats_pre, "term_id")
 
+    # ---- stage: per-shard doc length arrays (wand_data doc_lens).
+    # Defined here so eager mode can materialize it CONCURRENTLY with the
+    # posting encode (independent DAG branches; Spark schedules jobs from
+    # separate driver threads side by side) — serializing them just adds
+    # a fixed job latency to every build.
+    shards = None
+    shards_thread = None
+    if manifest and manifest.done("shards"):
+        shards = manifest.read_df(spark, "shards")
+    else:
+        shards_raw = (
+            docs.groupBy("shard_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("doc_id", "doc_len"))).alias("dl"))
+            .select(
+                "shard_id",
+                (F.col("shard_id") * cfg.shard_span).alias("base_doc"),
+                F.transform("dl", lambda x: x["doc_len"]).alias("doc_lens"),
+            )
+        )
+        if not manifest:
+            shards = shards_raw.persist()
+            if eager:
+                import threading
+
+                shards_thread = threading.Thread(target=shards.count)
+                shards_thread.start()
+
     # ---- stage: encoded postings (bucketed for per-partition resume)
     if manifest:
         tf_bucketed = tf_full.withColumn(
@@ -506,27 +536,13 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             postings.count()
     _phase("encode_postings")
 
-    # ---- stage: per-shard doc length arrays (wand_data doc_lens)
-    if manifest and manifest.done("shards"):
+    # ---- stage: per-shard doc length arrays — defined above; join the
+    # concurrent materialization (or write through the manifest)
+    if shards is None:  # manifest build path
+        manifest.write_df("shards", shards_raw)
         shards = manifest.read_df(spark, "shards")
-    else:
-        shards_raw = (
-            docs.groupBy("shard_id")
-            .agg(F.array_sort(
-                F.collect_list(F.struct("doc_id", "doc_len"))).alias("dl"))
-            .select(
-                "shard_id",
-                (F.col("shard_id") * cfg.shard_span).alias("base_doc"),
-                F.transform("dl", lambda x: x["doc_len"]).alias("doc_lens"),
-            )
-        )
-        if manifest:
-            manifest.write_df("shards", shards_raw)
-            shards = manifest.read_df(spark, "shards")
-        else:
-            shards = shards_raw.persist()
-            if eager:
-                shards.count()
+    elif shards_thread is not None:
+        shards_thread.join()
     _phase("shards")
 
     # ---- stage: lexicon with term stats + max scores (WAND term metadata),

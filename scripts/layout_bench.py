@@ -1,0 +1,106 @@
+"""Physical-layout comparison: codecs x block partition strategies.
+
+For each layout, build the same corpus and report
+- index size: posting bytes (docs_bin + tfs_bin) and block-metadata entries,
+- pruning work: profile_queries counters (docs scored, ranges skipped) for
+  the Block-Max-WAND executor over the same query set,
+- rank identity vs the exhaustive oracle (must hold for every layout).
+
+Usage: python scripts/layout_bench.py [N_DOCS] [CORES]
+Prints one JSON line; paste the table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from pyspark.sql import functions as F
+
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.operators.topk import profile_queries, topk_search
+    from pisa_spark.plans.build import build_index
+    from pisa_spark.session import get_spark
+    from pisa_spark.sources import webtext
+
+    spark = get_spark(app_name="layout-bench", cores=cores)
+    path = f"/root/repo/.cache/bench_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        webtext.generate(spark, n_docs, seed=13).write.mode(
+            "overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    queries = webtext.synth_queries(100, seed=29)
+
+    layouts = {
+        "varint_fixed": {},
+        "bp128_fixed": {"codec": "bp128"},
+        "ef_fixed": {"codec": "ef"},
+        "opt_fixed": {"codec": "opt"},
+        "varint_variable": {"block_partition": "variable"},
+        "bp128_variable": {"codec": "bp128", "block_partition": "variable"},
+    }
+    out = {}
+    oracle = None
+    for name, kw in layouts.items():
+        cfg = IndexConfig(shard_span=1 << 14, **kw)
+        idx = build_index(pages, cfg, html_col="html")
+        size = idx.postings.agg(
+            F.sum(F.length("docs_bin")).alias("doc_bytes"),
+            F.sum(F.length("tfs_bin")).alias("tf_bytes"),
+            F.sum(F.size("block_last_docs")).alias("blocks"),
+            F.sum("n").alias("postings")).collect()[0]
+        res = topk_search(idx, queries, k=10, algorithm="block_max_wand",
+                          with_urls=False)
+        key = sorted((r.qid, r.rank, r.doc_id) for r in res.collect())
+        if oracle is None:
+            oracle = sorted(
+                (r.qid, r.rank, r.doc_id) for r in
+                topk_search(idx, queries, k=10, algorithm="ranked_or",
+                            with_urls=False).collect())
+        prof = (profile_queries(idx, queries, k=10,
+                                algorithm="block_max_wand")
+                .agg(F.sum("docs_scored").alias("docs_scored"),
+                     F.sum("ranges").alias("ranges"),
+                     F.sum("ranges_skipped").alias("skipped"))
+                .collect()[0])
+        out[name] = {
+            "doc_bytes": int(size["doc_bytes"]),
+            "tf_bytes": int(size["tf_bytes"]),
+            "blocks": int(size["blocks"]),
+            "postings": int(size["postings"]),
+            "bits_per_doc_gap": round(
+                8.0 * size["doc_bytes"] / size["postings"], 3),
+            "bmw_docs_scored": int(prof["docs_scored"]),
+            "bmw_ranges_skipped": int(prof["skipped"]),
+            "bmw_ranges": int(prof["ranges"]),
+            "rank_identical": key == oracle,
+        }
+        if name == "varint_fixed":
+            # docID-ordering effect on compressed size: the build's URL
+            # order vs a seeded random permutation (the gap recursive graph
+            # bisection would further close; reordering.md:46-66)
+            from pisa_spark.operators.reorder import (compressed_size,
+                                                      random_mapping,
+                                                      reorder_index)
+
+            rnd = reorder_index(idx, random_mapping(idx.docs), cfg)
+            out["reorder"] = {
+                "url_order_bytes": int(size["doc_bytes"] + size["tf_bytes"]),
+                "random_order_bytes": int(compressed_size(rnd)),
+            }
+            rnd.postings.unpersist()
+            rnd.shards.unpersist()
+        idx.postings.unpersist()
+    print(json.dumps({"n_docs": n_docs, "queries": 100, "layouts": out}))
+
+
+if __name__ == "__main__":
+    main()

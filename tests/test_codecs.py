@@ -35,7 +35,7 @@ def test_ef_roundtrip(values):
 
 @given(
     st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True),
-    st.sampled_from(["varint", "ef"]),
+    st.sampled_from(["varint", "ef", "bp128", "opt"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_gap_stream_roundtrip(docs, codec):
@@ -48,9 +48,23 @@ def test_gap_stream_roundtrip(docs, codec):
 
 def test_gap_stream_base_minus_one():
     docs = np.array([0, 1, 5, 100], dtype=np.int64)
-    for codec in ("varint", "ef"):
+    for codec in ("varint", "ef", "bp128", "opt"):
         buf = encode_gap_stream(docs, -1, codec)
         assert (decode_gap_stream(buf, -1, codec, 4) == docs).all()
+
+
+def test_opt_dispatch_never_bigger_than_best_base():
+    from pisa_spark.operators.codecs import _OPT_CODECS
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 400))
+        docs = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        base = int(docs[0]) - 1
+        opt = encode_gap_stream(docs, base, "opt")
+        best = min(len(encode_gap_stream(docs, base, c)) for c in _OPT_CODECS)
+        assert len(opt) == best + 1  # one tag byte
+        assert (decode_gap_stream(opt, base, "opt", n) == docs).all()
 
 
 @given(st.lists(st.integers(1, 10**6), min_size=0, max_size=300))

@@ -86,3 +86,19 @@ def test_quantized_scores_are_small_ints(spark, pages, queries):
     flat = decode_postings(qidx.postings, qidx.cfg)
     row = flat.agg({"tf": "max"}).collect()[0]
     assert 1 <= row[0] < 2 ** 6
+
+
+def test_quantized_lexicon_keeps_true_term_stats(spark, pages):
+    """The quantized index's lexicon df/cf must be the PRE-quantization
+    term stats (reference wand_data cf = collection frequency), not sums of
+    quantized scores."""
+    plain = build_index(extract_pages(pages, IndexConfig(shard_span=64)),
+                        IndexConfig(shard_span=64))
+    q = build_index(
+        extract_pages(pages, IndexConfig(quantize_bits=8, shard_span=64)),
+        IndexConfig(quantize_bits=8, shard_span=64))
+    want = {r["term"]: (r["df"], r["cf"])
+            for r in plain.lexicon.select("term", "df", "cf").collect()}
+    got = {r["term"]: (r["df"], r["cf"])
+           for r in q.lexicon.select("term", "df", "cf").collect()}
+    assert got == want

@@ -220,3 +220,23 @@ def test_evaluate_self_run_is_perfect(spark, index, queries):
     qrels = parse_qrels(spark, qrels_lines)
     s = summarize(evaluate_run(res, qrels, k=5))
     assert s["map"] == 1.0 and s["ndcg_at_k"] == 1.0
+
+
+def test_profile_queries_counters(index, queries):
+    """profile_queries (ref tools/profile_queries.cpp): pruned traversal
+    must visit no more docs than the exhaustive one, and skip ranges only
+    when pruning is possible."""
+    from pisa_spark.operators.topk import profile_queries
+
+    prof_or = profile_queries(index, queries[:6], k=K,
+                              algorithm="ranked_or").toPandas()
+    prof_bmw = profile_queries(index, queries[:6], k=K,
+                               algorithm="block_max_wand").toPandas()
+    assert (prof_or.docs_scored > 0).any()
+    a = prof_or.groupby("qid").docs_scored.sum()
+    b = prof_bmw.groupby("qid").docs_scored.sum()
+    for qid in b.index:
+        assert b[qid] <= a[qid], qid
+    assert (prof_bmw.ranges >= prof_bmw.ranges_skipped).all()
+    assert (prof_bmw.postings_decoded >= 0).all()
+    assert (prof_bmw.blocks_decoded >= 0).all()

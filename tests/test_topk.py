@@ -184,6 +184,7 @@ def test_batch_executor_identity(index, queries):
 
 @pytest.mark.parametrize("variant", [
     {"codec": "bp128"},
+    {"codec": "opt"},
     {"block_partition": "variable"},
     {"codec": "bp128", "block_partition": "variable"},
 ])
