@@ -89,8 +89,14 @@ def worker(cores: int, n_docs: int) -> None:
 
     spark = get_spark(
         app_name=f"pisa-scale-{cores}", cores=cores,
-        extra={  # pre-fault the heap outside the timed region
-            "spark.driver.extraJavaOptions": "-Xms18g -XX:+AlwaysPreTouch"})
+        extra={
+            # -Xms + pre-touch: pre-fault the heap outside the timed region.
+            # ActiveProcessorCount=N: the JVM must size GC/JIT/thread pools
+            # for N cores, not the host's 32 — otherwise the low level gets
+            # background parallelism a real N-core executor would not have
+            # and the measured scaling ratio is unfairly depressed.
+            "spark.driver.extraJavaOptions":
+                f"-Xms18g -XX:+AlwaysPreTouch -XX:ActiveProcessorCount={cores}"})
     corpus = f"/dev/shm/pisa-bench/bench_corpus_{n_docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         corpus = f"/root/repo/.cache/bench_corpus_{n_docs}"
@@ -99,7 +105,7 @@ def worker(cores: int, n_docs: int) -> None:
     # measured level's encode parallelism — at 100 TB any sane span gives
     # millions of shards, so few-shards-vs-many-cores is purely a
     # small-corpus artifact the benchmark must not measure
-    cfg = IndexConfig(shard_span=1 << 12)
+    cfg = IndexConfig(shard_span=1 << 13)
 
     # ---- warm-up (untimed): pool + JIT over the same code paths
     warm_python_workers(spark, cores)

@@ -143,3 +143,29 @@ def test_encode_batch_block_layout():
     blk1 = codecs.decode_gap_stream(
         bytes(row.docs_bin[offs[1]:offs[2]]), 40, "varint", 4)
     assert (blk1 == docs[4:8]).all()
+
+
+def test_recursive_graph_bisection_mapping(spark, small_index):
+    """BP reordering (recursive_graph_bisection.hpp): the mapping is a
+    valid permutation, ranked output is unchanged, and the BP order
+    compresses at least as well as a random permutation (iid synthetic
+    docs have no URL-topic clustering, so BP must find the term-sharing
+    structure URL order can't)."""
+    from pisa_spark.operators.reorder import bp_mapping
+
+    mapping = bp_mapping(small_index, depth=2, iterations=3)
+    rows = mapping.collect()
+    n = small_index.stats["num_docs"]
+    assert len(rows) == n
+    assert sorted(r["new_doc_id"] for r in rows) == list(range(n))
+
+    bp_idx = reorder_index(small_index, mapping)
+    qs = webtext.synth_queries(8, seed=29)
+    a = topk_search(small_index, qs, k=5).toPandas()
+    b = topk_search(bp_idx, qs, k=5).toPandas()
+    ka = sorted(map(tuple, a[["qid", "url", "rank"]].values.tolist()))
+    kb = sorted(map(tuple, b[["qid", "url", "rank"]].values.tolist()))
+    assert ka == kb
+
+    rand_idx = reorder_index(small_index, random_mapping(small_index.docs, 7))
+    assert compressed_size(bp_idx) <= compressed_size(rand_idx)
