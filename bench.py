@@ -77,12 +77,15 @@ def query_bench(spark, idx) -> dict:
     from pisa_spark.operators.topk import topk_search_batch
 
     queries = webtext.synth_queries(100, seed=29)
+    # range_span < shard_span so the kernels' range-skip + threshold
+    # pruning engage within each shard (8 ranges per 2048-doc shard)
+    rspan = 256
     # batch: all 100 queries in one job (the cluster-shaped workload),
     # shard-partitioned batch executor
-    topk_search_batch(idx, queries[:2], k=10,
+    topk_search_batch(idx, queries[:2], k=10, range_span=rspan,
                       algorithm="block_max_wand").count()  # warm-up
     t0 = time.time()
-    n = topk_search_batch(idx, queries, k=10,
+    n = topk_search_batch(idx, queries, k=10, range_span=rspan,
                           algorithm="block_max_wand").count()
     batch_s = time.time() - t0
     # per-query latency (reference queries.cpp shape: first run warms up)
@@ -92,7 +95,7 @@ def query_bench(spark, idx) -> dict:
     for q in queries[:N_LATENCY_QUERIES]:
         t0 = time.time()
         topk_search(idx, [q], k=10, algorithm="block_max_wand",
-                    with_urls=False).collect()
+                    range_span=rspan, with_urls=False).collect()
         lat.append(time.time() - t0)
     lat.sort()
     p50 = lat[len(lat) // 2]

@@ -57,15 +57,17 @@ def main() -> None:
             F.sum(F.length("tfs_bin")).alias("tf_bytes"),
             F.sum(F.size("block_last_docs")).alias("blocks"),
             F.sum("n").alias("postings")).collect()[0]
+        # range_span < shard_span so the kernels' range skip + threshold
+        # pruning actually engage (16 ranges per 16k-doc shard)
         res = topk_search(idx, queries, k=10, algorithm="block_max_wand",
-                          with_urls=False)
+                          range_span=1024, with_urls=False)
         key = sorted((r.qid, r.rank, r.doc_id) for r in res.collect())
         if oracle is None:
             oracle = sorted(
                 (r.qid, r.rank, r.doc_id) for r in
                 topk_search(idx, queries, k=10, algorithm="ranked_or",
                             with_urls=False).collect())
-        prof = (profile_queries(idx, queries, k=10,
+        prof = (profile_queries(idx, queries, k=10, range_span=1024,
                                 algorithm="block_max_wand")
                 .agg(F.sum("docs_scored").alias("docs_scored"),
                      F.sum("ranges").alias("ranges"),

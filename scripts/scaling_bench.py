@@ -124,10 +124,11 @@ def worker(cores: int, n_docs: int) -> None:
     from pisa_spark.operators.topk import topk_search_batch
 
     queries = webtext.synth_queries(N_QUERIES, seed=29)
-    topk_search_batch(idx, queries[:4], k=10,
+    # range_span < shard_span so range-skip/threshold pruning engage
+    topk_search_batch(idx, queries[:4], k=10, range_span=1024,
                       algorithm="block_max_wand").count()  # warm-up
     t0 = time.time()
-    topk_search_batch(idx, queries, k=10,
+    topk_search_batch(idx, queries, k=10, range_span=1024,
                       algorithm="block_max_wand").count()
     query_s = time.time() - t0
     print(json.dumps({
