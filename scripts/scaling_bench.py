@@ -268,8 +268,14 @@ input splits / shuffle partitions, both of which grow with executors.
 
 Per-round headline numbers are in BENCH_r{{N}}.json (bench.py).
 """
-    with open("/root/repo/BENCH.md", "w") as f:
-        f.write(md)
+    # BENCH.md is hand-curated (layout ladder, noise methodology) — only
+    # replace it when explicitly asked
+    if os.environ.get("SCALING_WRITE_BENCH") == "1":
+        with open("/root/repo/BENCH.md", "w") as f:
+            f.write(md)
+    else:
+        with open("/root/repo/.cache/scaling_bench_last.md", "w") as f:
+            f.write(md)
 
 
 if __name__ == "__main__":
