@@ -68,6 +68,10 @@ ALGORITHMS = ("ranked_or", "maxscore", "wand", "block_max_wand",
 _ALGORITHM_ALIASES = {
     "ranked_or_taat": "ranked_or",
     "ranked_or_taat_lazy": "ranked_or",
+    # our maxscore's non-essential bounds are already block-granular
+    # (range_ub over block maxima), which IS block_max_maxscore's
+    # refinement (block_max_maxscore.hpp) — same kernel
+    "block_max_maxscore": "maxscore",
 }
 
 

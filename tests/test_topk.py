@@ -204,3 +204,18 @@ def test_layout_variants_rank_identity(spark, corpus, queries,
     assert set(got) == set(oracle_results)
     for q in oracle_results:
         assert got[q] == oracle_results[q], f"query {q} variant {variant}"
+
+
+def test_reference_algorithm_names_resolve(index, queries, oracle_results):
+    """Every reference CLI algorithm string must resolve and stay
+    rank-identical (block_max_maxscore folds into the block-granular
+    maxscore kernel; taat aliases fold into ranked_or)."""
+    for name in ("block_max_maxscore", "ranked_or_taat", "ranked_or_taat_lazy"):
+        out = topk_search(index, queries[:8], k=K, algorithm=name,
+                          range_span=128).toPandas()
+        got = {
+            q: [(r.doc_id, r.score) for r in g.sort_values("rank").itertuples()]
+            for q, g in out.groupby("qid")
+        }
+        for q in got:
+            assert got[q] == oracle_results[q], (name, q)
