@@ -101,10 +101,17 @@ def ingest_batch(batch_df, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG,
         known_df = spark.read.parquet(lex_path)
         new_terms_df = batch_vocab.join(known_df.select("term"),
                                         "term", "left_anti")
+        # crash-recovery: a previous attempt may have appended lexicon rows
+        # without committing segments.json — its ids are real (the anti-join
+        # sees them), so the next free id must come from the TABLE, not the
+        # possibly-stale committed counter, or two terms would collide
+        top = known_df.agg(F.max("term_id")).first()[0]
+        nxt = max(state["next_term_id"],
+                  (int(top) + 1) if top is not None else 0)
     else:
         known_df = None
         new_terms_df = batch_vocab
-    nxt = state["next_term_id"]
+        nxt = state["next_term_id"]
     n_new = new_terms_df.count()
     if n_new == 0:
         new_ids = None

@@ -132,3 +132,35 @@ def test_ingest_batch_idempotent_per_batch_id(spark, corpus):
         assert seg2["segment"] == seg1["segment"]
         sidx = load_stream_index(spark, out, CFG)
         assert sidx.stats["num_docs"] == len(pages)
+
+
+def test_ingest_recovers_from_orphan_lexicon_append(spark, corpus):
+    """Crash between the lexicon append and the segments.json commit: the
+    replayed/next batch must not assign colliding term_ids (the next free
+    id comes from the lexicon TABLE, not the stale committed counter)."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as out:
+        pages = extract_pages(corpus, CFG).orderBy("url").limit(80).collect()
+        half = len(pages) // 2
+        b1 = spark.createDataFrame(pages[:half], "url string, text string")
+        ingest_batch(b1, out, CFG, html_col=None, batch_id=0)
+        # simulate the orphan append: extra terms in the lexicon table with
+        # ids beyond next_term_id, but segments.json not updated
+        from pisa_spark.streaming.incremental import _load_segments
+        st = _load_segments(out)
+        orphan_base = st["next_term_id"]
+        spark.createDataFrame(
+            [("zzorphan1", orphan_base), ("zzorphan2", orphan_base + 1)],
+            "term string, term_id long"
+        ).write.mode("append").parquet(os.path.join(out, "lexicon_terms"))
+        b2 = spark.createDataFrame(pages[half:], "url string, text string")
+        ingest_batch(b2, out, CFG, html_col=None, batch_id=1)
+        lex = (spark.read.parquet(os.path.join(out, "lexicon_terms"))
+               .collect())
+        ids = [r["term_id"] for r in lex]
+        assert len(ids) == len(set(ids)), "term_id collision after orphan append"
+        sidx = load_stream_index(spark, out, CFG)
+        assert topk_search(sidx, webtext.synth_queries(5, seed=3),
+                           k=5).count() > 0
