@@ -57,7 +57,14 @@ JACCARD_THRESHOLD = 0.6
 # shingle set before the inverted self-join (bounds the join fan-out at
 # O(cap * df) instead of O(df^2); mirrored exactly by the SQL oracle)
 JACCARD_MAX_DF = 1000
-NEARDUP_COSINE = 0.55
+# 0.40 yields a non-trivial qualifying pair set on the synthetic embeddings
+# (59 pairs at sf0.01) so the bucketed path is oracle-proven on real pairs;
+# NEARDUP_PLANES/PROBES size the LSH tables so the per-boundary-pair miss
+# probability is ~7e-4 ((1-p)^probes with p = (1-acos(0.4)/pi)^3 = 0.25) —
+# verified empirically (deterministic seeded planes) vs the exact oracle.
+NEARDUP_COSINE = 0.4
+NEARDUP_PLANES = 3
+NEARDUP_PROBES = 24
 ANN_QUERY_IDS = list(range(8))
 
 # the reference English lexer alternation (reference src/tokenizer.cpp:70-78)
@@ -294,8 +301,9 @@ def _q_embedding_neardup(spark, sf_dir):
     from pisa_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_embeddings(spark, sf_dir),
-                                   threshold=NEARDUP_COSINE,
-                                   n_planes=4, probes=12)
+                                   threshold=NEARDUP_COSINE, exact=False,
+                                   n_planes=NEARDUP_PLANES,
+                                   probes=NEARDUP_PROBES)
 
 
 def _q_cosine_topk(spark, sf_dir):

@@ -246,22 +246,25 @@ def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
 def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.95, exact: bool = False,
+                            threshold: float = 0.95, exact: bool = True,
                             n_planes: int = 6, probes: int = 8,
                             seed: int = 7, dim: int | None = None):
     """Embedding-cosine near-dup pairs.
 
-    Default (scale path): signed-random-projection LSH buckets generate
+    exact=True (default): the all-pairs crossJoin — exhaustive recall, for
+    small inputs and as the oracle for the bucketed path. O(N^2): opt INTO
+    exact=False at scale.
+
+    exact=False (scale path): signed-random-projection LSH buckets generate
     candidates — `probes` independent hash tables of `n_planes` hyperplanes
     each; two vectors are candidates iff they share a bucket in ANY table —
     then the exact cosine reranks candidates, so every emitted pair's cosine
     is exact. Each table is one shuffle keyed on (table, bucket): O(N) plus
     bounded bucket joins, never the all-pairs product. At cosine >= t the
-    per-table collision prob is (1 - acos(t)/pi)^n_planes, so probes tables
-    miss with prob (1-p)^probes — size probes for the target recall.
-
-    exact=True is the all-pairs crossJoin: the oracle/rerank mode for tests
-    and small inputs only (O(N^2); never at scale).
+    per-table collision prob is p = (1 - acos(t)/pi)^n_planes, so probes
+    tables miss a qualifying pair with prob (1-p)^probes — size probes for
+    the target recall (tests/test_pipeline_ops pins recall on planted
+    boundary pairs just above the threshold).
     """
     from pisa_spark.operators.similarity import lsh_bucket_udf
 
@@ -283,8 +286,6 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
                     cosine.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
     tables = [
         e.select("vid", F.lit(t).alias("tbl"),
                  lsh_bucket_udf(dim, n_planes, seed + t)("v").alias("bucket"))

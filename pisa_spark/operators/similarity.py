@@ -51,12 +51,25 @@ def _projections(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float32)
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 7):
-    """pandas UDF: embedding -> signed-projection bucket id (int)."""
-    planes = _projections(dim, n_planes, seed)
+def lsh_bucket_udf(dim: int | None = None, n_planes: int = 12, seed: int = 7):
+    """pandas UDF: embedding -> signed-projection bucket id (int).
+
+    dim may be None: the hyperplanes are then derived from the batch's own
+    vector length on the executor (cached per dim) — the planes are
+    seed-deterministic, so every worker generates the same matrix and no
+    driver-side row peek is needed."""
+    planes_cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        planes_cache[dim] = _projections(dim, n_planes, seed)
 
     def bucket(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype=np.int64))
         mat = np.stack(vecs.to_numpy())
+        d = mat.shape[1]
+        planes = planes_cache.get(d)
+        if planes is None:
+            planes = planes_cache[d] = _projections(d, n_planes, seed)
         signs = (mat @ planes.T) > 0
         return pd.Series(
             (signs.astype(np.int64)
@@ -75,12 +88,11 @@ def lsh_ann_topk(embeddings, query_ids: list[int], k: int = 10,
     `multiprobe` flipped sign bits), exact cosine rerank inside candidates.
 
     At cluster scale the bucketed join replaces the crossJoin of the exact
-    path: each table is one shuffle keyed on (table, bucket). Pass `dim`
-    (the embedding dimension) to avoid the driver-side row peek."""
+    path: each table is one shuffle keyed on (table, bucket). `dim` is
+    optional — when omitted, the bucket UDF derives the hyperplanes from
+    the vectors' own length executor-side (no driver row peek)."""
     from pyspark.sql import Window as W
 
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
                           _norm(F.col(vec_col)).alias("nrm"))
     tables = []

@@ -229,6 +229,17 @@ def _footer_count(df) -> int | None:
     try:
         import pyarrow.parquet as pq
 
+        # inputFiles() returns the leaf files even when the plan has
+        # filters/limits/joins above the scan, where footer counts would
+        # overcount (and collapse _sample_cuts' sample fraction toward
+        # zero). Only take the shortcut for a bare scan: a plan whose
+        # analyzed tree is just column pruning over one relation.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        bare = all(line.lstrip("+- :").startswith(
+            ("Relation", "Project", "SubqueryAlias", "View"))
+            for line in plan.splitlines() if line.strip())
+        if not bare:
+            return None
         files = df.inputFiles()
         if not files or not all(f.endswith(".parquet") for f in files):
             return None
@@ -255,6 +266,15 @@ def _sample_cuts(df, col: str, parts: int, per_part: int = 48,
     frac = min(1.0, (parts * per_part * 1.2) / cnt)
     vals = sorted(r[0] for r in df.select(col).sample(False, frac, seed=13)
                   .collect() if r[0] is not None)
+    if len(vals) < parts * 4 and frac < 1.0:
+        # approx_count overcounted (or the data is tiny): the sample came
+        # back too thin to cut `parts` balanced ranges — resample at a
+        # fraction sized from the observed row count instead of silently
+        # funneling the build's dominant stage into a few buckets
+        observed = max(1, round(len(vals) / frac))
+        frac = min(1.0, (parts * per_part * 1.2) / observed)
+        vals = sorted(r[0] for r in df.select(col).sample(False, frac, seed=13)
+                      .collect() if r[0] is not None)
     cuts: list = []
     for i in range(1, parts):
         c = vals[min(len(vals) - 1, (i * len(vals)) // parts)] if vals else None
@@ -502,7 +522,15 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             if eager:
                 import threading
 
-                shards_thread = threading.Thread(target=shards.count)
+                shards_err: list = []
+
+                def _materialize_shards():
+                    try:
+                        shards.count()
+                    except BaseException as ex:  # re-raised at join()
+                        shards_err.append(ex)
+
+                shards_thread = threading.Thread(target=_materialize_shards)
                 shards_thread.start()
 
     # ---- stage: encoded postings (bucketed for per-partition resume)
@@ -543,6 +571,8 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         shards = manifest.read_df(spark, "shards")
     elif shards_thread is not None:
         shards_thread.join()
+        if shards_err:
+            raise shards_err[0]
     _phase("shards")
 
     # ---- stage: lexicon with term stats + max scores (WAND term metadata),

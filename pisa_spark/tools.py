@@ -180,7 +180,12 @@ def intersection(index, queries: list[str], max_terms: int = 2):
     qsp = (qt.join(sp, "term_id")
            .select("qid", "term_id", "doc_id", "score"))
     if max_terms > 1:
-        qsp = qsp.persist()
+        # localCheckpoint, not persist: the level-join reuses qsp per level,
+        # but a persist() here is never unpersisted (the result is lazy, so
+        # there is no safe unpersist point inside this function) and leaks
+        # executor cache across repeated calls. Checkpoint blocks are freed
+        # by the ContextCleaner once the result DataFrame is unreachable.
+        qsp = qsp.localCheckpoint(eager=False)
     cur = qsp.select(
         "qid", "doc_id",
         F.array("term_id").alias("terms"),

@@ -155,10 +155,44 @@ def test_embedding_neardup_bucketed_matches_exact(spark):
              dedup.embedding_neardup_pairs(df, threshold=0.9,
                                            exact=True).collect()}
     bucketed = {(r.vec_a, r.vec_b, r.cosine) for r in
-                dedup.embedding_neardup_pairs(df, threshold=0.9,
+                dedup.embedding_neardup_pairs(df, threshold=0.9, exact=False,
                                               n_planes=4, probes=12,
                                               dim=16).collect()}
     assert exact, "planted dups must qualify"
+    assert bucketed == exact
+
+
+def test_embedding_neardup_boundary_recall(spark):
+    """Recall on pairs planted JUST ABOVE the threshold — the hard case for
+    LSH banding (a boundary-cosine pair has the lowest collision prob). The
+    probe count follows the documented sizing formula: at t=0.5 with
+    n_planes=3, p=(1-acos(t)/pi)^3=0.30, so 24 tables miss a boundary pair
+    with prob (1-p)^24 ~ 2e-4; with 16 planted pairs the whole-set miss
+    prob is <1% and the seeded planes make the outcome deterministic."""
+    rng = np.random.default_rng(41)
+    t = 0.5
+    rows, vid = [], 0
+    for i in range(16):
+        a = rng.standard_normal(24).astype(np.float64)
+        a /= np.linalg.norm(a)
+        # construct b with cosine(a, b) in (t, t + 0.03]: rotate a toward
+        # an orthogonal direction by angle just under acos(t)
+        r = rng.standard_normal(24).astype(np.float64)
+        r -= (r @ a) * a
+        r /= np.linalg.norm(r)
+        theta = np.arccos(min(1.0, t + 0.005 + 0.02 * rng.random()))
+        b = np.cos(theta) * a + np.sin(theta) * r
+        rows.append((vid, a.astype(np.float32).tolist())); vid += 1
+        rows.append((vid, b.astype(np.float32).tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.vec_a, r.vec_b) for r in
+             dedup.embedding_neardup_pairs(df, threshold=t,
+                                           exact=True).collect()}
+    bucketed = {(r.vec_a, r.vec_b) for r in
+                dedup.embedding_neardup_pairs(df, threshold=t, exact=False,
+                                              n_planes=3,
+                                              probes=24).collect()}
+    assert len(exact) >= 16, "all planted boundary pairs must qualify"
     assert bucketed == exact
 
 
