@@ -41,12 +41,16 @@ def _corpus(spark, n_docs: int, path: str):
     return spark.read.parquet(path)
 
 
-def build_bench(spark, n_docs: int) -> dict:
+def build_bench(spark, n_docs: int, repeats: int | None = None) -> dict:
+    """Median-of-N timed builds (default 3): this box shows +-2x run-to-run
+    noise on identical Spark jobs, so a single-run headline can lie in
+    either direction; the median is the signal of record."""
     from pisa_spark.config import IndexConfig
     from pisa_spark.plans.build import build_index
     from pisa_spark.sources import webtext
     from scripts.scaling_bench import warm_python_workers
 
+    repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # ~30 shards at 60k docs: encode/query parallelism above the core
     # count (at real scale shards >> cores for any span; see scaling_bench)
     cfg = IndexConfig(shard_span=1 << 11)
@@ -55,18 +59,24 @@ def build_bench(spark, n_docs: int) -> dict:
     # untimed warm-up: python-worker pool + JIT over the same code paths
     # (steady-state throughput, as on a long-lived cluster)
     warm_python_workers(spark, spark.sparkContext.defaultParallelism)
-    midx = build_index(webtext.generate(spark, 2000, seed=7), cfg,
-                       html_col="html", eager=True)
-    spark.catalog.clearCache()
-    t0 = time.time()
-    idx = build_index(pages, cfg, html_col="html", eager=True)
-    build_s = time.time() - t0
+    build_index(webtext.generate(spark, 2000, seed=7), cfg,
+                html_col="html", eager=True)
+    runs = []
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        idx = build_index(pages, cfg, html_col="html", eager=True)
+        runs.append((time.time() - t0, idx))
+    last_idx = runs[-1][1]  # the only one whose caches survived clearCache
+    runs.sort(key=lambda r: r[0])
+    build_s, med_idx = runs[len(runs) // 2]
     return {
         "build_seconds": round(build_s, 3),
-        "docs_per_sec": round(idx.stats["num_docs"] / build_s, 1),
-        "num_docs": idx.stats["num_docs"],
-        "phase_seconds": idx.stats.get("phase_seconds", {}),
-        "_index": idx,
+        "build_seconds_runs": [round(r[0], 3) for r in runs],
+        "docs_per_sec": round(med_idx.stats["num_docs"] / build_s, 1),
+        "num_docs": med_idx.stats["num_docs"],
+        "phase_seconds": med_idx.stats.get("phase_seconds", {}),
+        "_index": last_idx,
     }
 
 
@@ -84,10 +94,13 @@ def query_bench(spark, idx) -> dict:
     # shard-partitioned batch executor
     topk_search_batch(idx, queries[:2], k=10, range_span=rspan,
                       algorithm="block_max_wand").count()  # warm-up
-    t0 = time.time()
-    n = topk_search_batch(idx, queries, k=10, range_span=rspan,
-                          algorithm="block_max_wand").count()
-    batch_s = time.time() - t0
+    batch_runs = []
+    for _ in range(3):  # median-of-3 (same +-2x host noise as the build)
+        t0 = time.time()
+        n = topk_search_batch(idx, queries, k=10, range_span=rspan,
+                              algorithm="block_max_wand").count()
+        batch_runs.append(time.time() - t0)
+    batch_s = sorted(batch_runs)[1]
     # per-query latency (reference queries.cpp shape: first run warms up)
     topk_search(idx, [queries[0]], k=10,
                 algorithm="block_max_wand").collect()  # untimed warm-up

@@ -69,6 +69,14 @@ class IndexConfig:
     # distributed rank-assignment path runs (web-scale vocabularies).
     lexicon_broadcast_max: int = 1 << 20
 
+    # Doc-wise encode working-set bound: the docwise kernel holds one full
+    # doc-shard's exploded tokens (shard_span x avg doc length) in numpy;
+    # when that exceeds this bound the build falls back to the exploded
+    # (shard, term)-shuffled encode whose groups are bounded by shard_span
+    # postings regardless of document length. 2^25 postings ~ 1.5 GB of
+    # kernel working set at int64 columns.
+    docwise_max_tokens: int = 1 << 25
+
     def scorer_params(self) -> dict[str, float]:
         return {
             "k1": self.bm25_k1,

@@ -184,15 +184,244 @@ def bp_decode(buf: bytes) -> np.ndarray:
             << np.arange(width, dtype=np.uint64)).sum(axis=1)
 
 
+# -------------------------------------------------- partitioned Elias-Fano
+
+# Per-partition representation tags (reference partitioned_sequence.hpp
+# indexed_sequence types: all-ones run / plain bitvector / Elias-Fano)
+_PEF_ALLONES, _PEF_BITMAP, _PEF_EF = 0, 1, 2
+
+
+def _pef_part_cost(m: int, span: int) -> tuple[int, int]:
+    """(tag, payload bytes) of the cheapest representation for a partition
+    of m strictly-increasing values covering span = last - lo (inclusive
+    universe width span + 1). Mirrors optimal_partition.hpp's cost_fun over
+    the three indexed_sequence cases, byte-aligned."""
+    if span == m - 1:
+        return _PEF_ALLONES, 0
+    bitmap = (span + 8) // 8
+    l = max(0, int(np.floor(np.log2((span + 1) / m))) if span + 1 >= m else 0)
+    ef = (m * l + 7) // 8 + ((span >> l) + m + 7) // 8 + 2
+    return (_PEF_BITMAP, bitmap) if bitmap <= ef else (_PEF_EF, ef)
+
+
+def pef_encode(values: np.ndarray, universe: int, quantum: int = 8,
+               dir_overhead: int = 4) -> bytes:
+    """Partitioned Elias-Fano over a strictly-increasing uint64 array
+    (reference sequence/partitioned_sequence.hpp + optimal_partition.hpp:
+    choose partition boundaries minimizing total encoded size, where each
+    partition independently picks all-ones / bitmap / Elias-Fano).
+
+    The reference's eps-approximate shortest path is re-expressed as an
+    EXACT DP on a quantum grid of candidate boundaries (same move as the
+    VBMW partitioner); partitions are byte-aligned (documented deviation —
+    parquet pages are byte-addressed), dir_overhead models the per-partition
+    directory entry in the DP.
+
+    Layout: varint n | varint universe | varint n_parts, then per partition
+    varint m | varint last (relative to sequence start) | 1B tag |
+    varint payload_len | payload."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    header = varint_encode(np.array([n, universe], dtype=np.uint64))
+    if n == 0:
+        return header + varint_encode(np.array([0], dtype=np.uint64))
+    nodes = list(range(0, n, quantum)) + [n]
+    if nodes[-2] == n:  # n divisible by quantum
+        nodes = nodes[:-1]
+    m_nodes = len(nodes)
+    v_int = v.astype(np.int64)
+    INF = float("inf")
+    dist = [INF] * m_nodes
+    prev_n = [0] * m_nodes
+    dist[0] = 0.0
+    for j in range(1, m_nodes):
+        e = nodes[j]
+        for i in range(j - 1, -1, -1):
+            s = nodes[i]
+            lo = int(v_int[s - 1]) + 1 if s > 0 else 0
+            span = int(v_int[e - 1]) - lo
+            _, payload = _pef_part_cost(e - s, span)
+            c = dist[i] + payload + dir_overhead
+            if c < dist[j]:
+                dist[j] = c
+                prev_n[j] = i
+    # backtrack partition boundaries
+    bounds = [m_nodes - 1]
+    while bounds[-1] > 0:
+        bounds.append(prev_n[bounds[-1]])
+    bounds = [nodes[b] for b in reversed(bounds)]
+    parts = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        lo = int(v_int[s - 1]) + 1 if s > 0 else 0
+        last = int(v_int[e - 1])
+        span = last - lo
+        m = e - s
+        tag, _ = _pef_part_cost(m, span)
+        if tag == _PEF_ALLONES:
+            payload = b""
+        elif tag == _PEF_BITMAP:
+            bits = np.zeros(span + 1, dtype=np.uint8)
+            bits[(v_int[s:e] - lo).astype(np.int64)] = 1
+            payload = np.packbits(bits, bitorder="little").tobytes()
+        else:
+            payload = ef_encode((v_int[s:e] - lo).astype(np.uint64), span)
+        parts.append(
+            varint_encode(np.array([m, last], dtype=np.uint64))
+            + bytes([tag])
+            + varint_encode(np.array([len(payload)], dtype=np.uint64))
+            + payload)
+    return (header
+            + varint_encode(np.array([len(parts)], dtype=np.uint64))
+            + b"".join(parts))
+
+
+def _read_varints(b: np.ndarray, pos: int, k: int) -> tuple[list[int], int]:
+    out = []
+    for _ in range(k):
+        val, shift = 0, 0
+        while True:
+            byte = int(b[pos]); pos += 1
+            val |= (byte & 0x7F) << shift
+            shift += 7
+            if not byte & 0x80:
+                break
+        out.append(val)
+    return out, pos
+
+
+def pef_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode pef_encode output -> (values, universe)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    (n, universe, n_parts), pos = _read_varints(b, 0, 3)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), universe
+    chunks = []
+    lo = 0
+    for _ in range(n_parts):
+        (m, last), pos = _read_varints(b, pos, 2)
+        tag = int(b[pos]); pos += 1
+        (plen,), pos = _read_varints(b, pos, 1)
+        payload = b[pos:pos + plen]
+        pos += plen
+        span = last - lo
+        if tag == _PEF_ALLONES:
+            vals = lo + np.arange(m, dtype=np.int64)
+        elif tag == _PEF_BITMAP:
+            bits = np.unpackbits(payload, bitorder="little")[: span + 1]
+            vals = lo + np.flatnonzero(bits).astype(np.int64)
+        else:
+            rel, _ = ef_decode(payload.tobytes())
+            vals = lo + rel.astype(np.int64)
+        chunks.append(vals)
+        lo = last + 1
+    return np.concatenate(chunks).astype(np.uint64), universe
+
+
+# -------------------------------------------- binary interpolative coding
+
+class _BitWriter:
+    __slots__ = ("bits",)
+
+    def __init__(self):
+        self.bits: list = []
+
+    def write(self, value: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        arr = np.array(self.bits, dtype=np.uint8)
+        return np.packbits(arr, bitorder="big").tobytes()
+
+
+class _BitReader:
+    __slots__ = ("arr", "pos")
+
+    def __init__(self, buf: bytes):
+        self.arr = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
+                                 bitorder="big")
+        self.pos = 0
+
+    def read(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | int(self.arr[self.pos])
+            self.pos += 1
+        return v
+
+
+def _center_width(rng: int) -> int:
+    return int(rng).bit_length() if rng > 0 else 0
+
+
+def _bic_write(w: _BitWriter, vals: np.ndarray, lo: int, hi: int) -> None:
+    """Recursive middle-out interpolative encode of strictly-increasing
+    vals within [lo, hi] (reference codec/interpolative_coding.hpp:1-135,
+    the Moffat–Stuiver scheme): the middle element is written with just
+    enough bits for its feasible range, halving ranges as recursion
+    descends — dense runs cost ~0 bits."""
+    n = vals.size
+    if n == 0:
+        return
+    mid = n // 2
+    val = int(vals[mid])
+    # feasible range for the middle value given mid elements below and
+    # n - mid - 1 above
+    a = lo + mid
+    b = hi - (n - mid - 1)
+    w.write(val - a, _center_width(b - a))
+    _bic_write(w, vals[:mid], lo, val - 1)
+    _bic_write(w, vals[mid + 1:], val + 1, hi)
+
+
+def _bic_read(r: _BitReader, n: int, lo: int, hi: int, out: list) -> None:
+    if n == 0:
+        return
+    mid = n // 2
+    a = lo + mid
+    b = hi - (n - mid - 1)
+    val = a + r.read(_center_width(b - a))
+    _bic_read(r, mid, lo, val - 1, out)
+    out.append(val)
+    _bic_read(r, n - mid - 1, val + 1, hi, out)
+
+
+def bic_encode(values: np.ndarray, universe: int) -> bytes:
+    """Binary interpolative coding of a strictly-increasing uint64 array
+    over [0, universe] — the strongest-compression codec family of the
+    reference (codec/interpolative_coding.hpp). Bit-granular; CPU-heavy
+    (per-element recursion) — a size-optimal cold-tier option, not the
+    throughput default."""
+    v = np.asarray(values, dtype=np.int64)
+    header = varint_encode(np.array([v.size, universe], dtype=np.uint64))
+    if v.size == 0:
+        return header
+    w = _BitWriter()
+    _bic_write(w, v, 0, int(universe))
+    return header + w.tobytes()
+
+
+def bic_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    (n, universe), pos = _read_varints(b, 0, 2)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), universe
+    r = _BitReader(b[pos:].tobytes())
+    out: list = []
+    _bic_read(r, n, 0, universe, out)
+    return np.array(out, dtype=np.uint64), universe
+
+
 # ------------------------------------------------------- posting-row codecs
 
-CODECS = ("varint", "ef", "bp128", "opt")
+CODECS = ("varint", "ef", "bp128", "opt", "pef", "bic")
 
 # per-block optimal dispatch: each block is encoded with whichever base
 # codec is smallest and tagged with one byte — the role of the reference's
-# OptPFD/partitioned-EF family (pick the cheapest representation per block)
-# re-expressed as a dispatch over this engine's three base codecs.
-_OPT_CODECS = ("varint", "ef", "bp128")
+# OptPFD family (pick the cheapest representation per block) re-expressed
+# as a dispatch over this engine's base codecs, now including true
+# partitioned EF (which itself sub-partitions the block optimally).
+_OPT_CODECS = ("varint", "ef", "bp128", "pef")
 
 
 def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
@@ -207,6 +436,12 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "bp128":
         gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
         return bp_encode(gaps)
+    if codec == "pef":
+        rel = (d - base - 1).astype(np.uint64)
+        return pef_encode(rel, int(rel[-1]) if rel.size else 0)
+    if codec == "bic":
+        rel = (d - base - 1).astype(np.uint64)
+        return bic_encode(rel, int(rel[-1]) if rel.size else 0)
     if codec == "opt":
         best_i, best = min(
             ((i, encode_gap_stream(d, base, c))
@@ -230,6 +465,16 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         if count is not None and gaps.size != count:
             raise ValueError("bp128 stream count mismatch")
         return np.cumsum(gaps + 1) + base
+    if codec == "pef":
+        rel, _ = pef_decode(buf)
+        if count is not None and rel.size != count:
+            raise ValueError("pef stream count mismatch")
+        return rel.astype(np.int64) + base + 1
+    if codec == "bic":
+        rel, _ = bic_decode(buf)
+        if count is not None and rel.size != count:
+            raise ValueError("bic stream count mismatch")
+        return rel.astype(np.int64) + base + 1
     if codec == "opt":
         return decode_gap_stream(buf[1:], base, _OPT_CODECS[buf[0]], count)
     raise ValueError(f"unknown codec {codec!r}")

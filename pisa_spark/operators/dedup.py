@@ -217,23 +217,53 @@ def simhash(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3):
-    """Pairs with hamming(simhash) <= max_hamming. Pigeonhole banding: split
-    60 bits into 4 chunks; <=3 differing bits => at least one chunk equal, so
-    the candidate join is exact, then the hamming filter reranks."""
+                  max_hamming: int = 3, n_chunks: int = 6):
+    """Pairs with hamming(simhash) <= max_hamming, via an exact k-of-m
+    pigeonhole band join (then the hamming filter reranks, so the result
+    set is independent of the banding scheme).
+
+    Scheme: split the 60 bits into n_chunks equal chunks. <= h differing
+    bits touch <= h chunks, leaving >= n_chunks - h untouched. When
+    n_chunks - h >= 2, some PAIR of chunks is equal, so the join key is a
+    pair of chunk values — C(n_chunks, 2) combos over a (2*chunk_bits)-bit
+    key space. At the default (6 chunks of 10 bits, h=3) the bucket space
+    per combo is 2^20 vs the naive single-chunk scheme's 2^15: random
+    collisions per combo shrink by 2^5 while combos only grow 4 -> 15, so
+    total candidate volume drops ~8x and keeps dropping as chunks narrow —
+    the knob that keeps bucket joins bounded at 100x the corpus. With
+    n_chunks - h == 1 the single-chunk join (at least one chunk equal) is
+    used instead."""
+    if 60 % n_chunks:
+        raise ValueError("n_chunks must divide 60")
+    if n_chunks - max_hamming < 1:
+        raise ValueError("need n_chunks > max_hamming for pigeonhole banding")
+    bits = 60 // n_chunks
+    mask = (1 << bits) - 1
     sh = simhash(docs, id_col, text_col)
-    chunks = sh.select(
+
+    def cval(c):
+        return F.shiftright("simhash", c * bits).bitwiseAND(F.lit(mask))
+
+    if n_chunks - max_hamming >= 2:
+        combos = [(i, j) for i in range(n_chunks)
+                  for j in range(i + 1, n_chunks)]
+        bands = [
+            F.struct(F.lit(ci).alias("band"),
+                     (F.shiftleft(cval(i), bits) + cval(j)).alias("bval"))
+            for ci, (i, j) in enumerate(combos)
+        ]
+    else:
+        bands = [
+            F.struct(F.lit(c).alias("band"), cval(c).alias("bval"))
+            for c in range(n_chunks)
+        ]
+    banded = sh.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 15).bitwiseAND(F.lit(0x7FFF))
-                     .alias("cval"))
-            for c in range(4)
-        ])).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk", "ck.cval")
-    a, b = chunks.alias("a"), chunks.alias("b")
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bval")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, ["chunk", "cval"])
+        a.join(b, ["band", "bval"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),

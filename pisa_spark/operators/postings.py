@@ -41,6 +41,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pisa_spark.config import IndexConfig
 from pisa_spark.functions.scoring import make_scorer
@@ -63,6 +64,25 @@ _ENCODED_COLUMNS = [
 ]
 
 
+ENCODED_PA_SCHEMA = pa.schema([
+    ("shard_id", pa.int64()), ("term_id", pa.int64()), ("n", pa.int64()),
+    ("sum_tf", pa.int64()), ("base_doc", pa.int64()), ("last_doc", pa.int64()),
+    ("block_last_docs", pa.list_(pa.int64())),
+    ("block_doc_offs", pa.list_(pa.int32())),
+    ("block_tf_offs", pa.list_(pa.int32())),
+    ("block_max_part", pa.list_(pa.float32())),
+    ("docs_bin", pa.binary()), ("tfs_bin", pa.binary()),
+])
+
+# string-keyed encode output: `term` (string) instead of `term_id` — used
+# by the lexicon-last build flow, where dense term_ids are assigned FROM
+# the encoded rows (~100x smaller than the flat postings) and joined back
+ENCODED_STR_SCHEMA = ENCODED_SCHEMA.replace("term_id long", "term string")
+ENCODED_STR_PA_SCHEMA = pa.schema(
+    [pa.field("term", pa.string()) if f.name == "term_id" else f
+     for f in ENCODED_PA_SCHEMA])
+
+
 def _empty_encoded() -> pd.DataFrame:
     """Zero-row frame matching ENCODED_SCHEMA."""
     return pd.DataFrame({
@@ -70,6 +90,10 @@ def _empty_encoded() -> pd.DataFrame:
             "shard_id", "term_id", "n", "sum_tf", "base_doc", "last_doc")
             else object)
         for c in _ENCODED_COLUMNS})
+
+
+def _empty_encoded_batch() -> pa.RecordBatch:
+    return pa.RecordBatch.from_pylist([], schema=ENCODED_PA_SCHEMA)
 
 
 def _variable_boundaries(part: np.ndarray, bsz: int, quantum: int = 16,
@@ -131,30 +155,40 @@ def _variable_boundaries(part: np.ndarray, bsz: int, quantum: int = 16,
     return np.array(bounds[::-1], dtype=np.int64)
 
 
-def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
-                  scorer) -> pd.DataFrame:
-    """Encode one pandas batch of complete (shard_id, term_id) groups.
+def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
+                   tfs: np.ndarray, doc_len: np.ndarray,
+                   cfg: IndexConfig, stats: dict, scorer,
+                   df: np.ndarray | None = None,
+                   cf: np.ndarray | None = None,
+                   term_dict: pa.Array | None = None) -> pa.RecordBatch:
+    """Encode complete (shard_id, term_id) groups into one Arrow batch.
 
-    Input columns: shard_id, term_id, doc_id, tf, doc_len (+ df, cf when the
-    scorer is non-separable). Rows pre-sorted by (shard_id, term_id, doc_id).
-    """
-    if not len(pdf):
-        # zero-row input (e.g. a shard whose docs all tokenized empty):
-        # return an empty frame in the encoded shape instead of running the
-        # group-boundary kernel, which assumes >= 1 group
-        return _empty_encoded()
+    Inputs are int64 numpy arrays pre-sorted by (shard_id, term_id, doc_id).
+    The whole kernel is columnar: block boundaries, block maxima and byte
+    offsets are computed with batch-wide numpy ops, and the output
+    RecordBatch wraps the varint streams ZERO-COPY (each row's docs_bin /
+    tfs_bin is an offset slice of one shared buffer — no per-group bytes()
+    materialization, no per-row Python). The per-group Python loop survives
+    only for VBMW boundary DP and per-block codecs (ef/bp128/opt), which
+    are inherently per-list.
+
+    With term_dict set, `term` holds batch-local dictionary codes and the
+    output carries the term STRING column (take from the dictionary)
+    instead of term_id — the lexicon-last build flow."""
+    n_rows = docs.size
+    if n_rows == 0:
+        if term_dict is not None:
+            return pa.RecordBatch.from_pylist([],
+                                              schema=ENCODED_STR_PA_SCHEMA)
+        return _empty_encoded_batch()
     span = cfg.shard_span
     bsz = cfg.block_size
-    shard = pdf["shard_id"].to_numpy()
-    term = pdf["term_id"].to_numpy()
-    docs = pdf["doc_id"].to_numpy()
-    tfs = pdf["tf"].to_numpy()
-    doc_len = pdf["doc_len"].to_numpy()
 
     # group boundaries over the whole batch
     change = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
     starts = np.concatenate(([0], np.flatnonzero(change) + 1))
-    ends = np.concatenate((starts[1:], [len(pdf)]))
+    ends = np.concatenate((starts[1:], [n_rows]))
+    n_groups = starts.size
 
     # vectorized across the batch: gap-1 stream (group starts rebased to the
     # shard base), tf-1 stream, per-posting score part
@@ -168,67 +202,123 @@ def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
         part = scorer.doc_part(tfs, doc_len, stats["avg_len"])
     else:
         part = scorer.score(
-            tfs, doc_len,
-            df=pdf["df"].to_numpy() if "df" in pdf else None,
-            cf=pdf["cf"].to_numpy() if "cf" in pdf else None,
+            tfs, doc_len, df=df, cf=cf,
             num_docs=stats["num_docs"], avg_len=stats["avg_len"],
             collection_len=stats["collection_len"],
         )
 
-    if cfg.codec == "varint":
-        doc_bytes, doc_lens_b = codecs.varint_encode_with_lengths(gaps)
-        doc_byte_off = np.concatenate(([0], np.cumsum(doc_lens_b)))
-    else:
-        doc_bytes, doc_byte_off = None, None  # per-group EF below
     tf_bytes, tf_lens_b = codecs.varint_encode_with_lengths(
         tfs.astype(np.uint64) - np.uint64(1))
     tf_byte_off = np.concatenate(([0], np.cumsum(tf_lens_b)))
 
-    variable = cfg.block_partition == "variable"
-    rows = []
-    doc_mv = memoryview(doc_bytes) if doc_bytes is not None else None
-    tf_mv = memoryview(tf_bytes)
-    tf_sums = dict(zip(starts, np.add.reduceat(tfs, starts)))
-    for s, e in zip(starts, ends):
-        n = e - s
-        g_docs = docs[s:e]
-        if variable:
-            blk_starts = s + _variable_boundaries(
+    # ---- block boundaries (absolute batch offsets, all groups at once)
+    if cfg.block_partition == "variable":
+        parts_list = []
+        nblk = np.empty(n_groups, dtype=np.int64)
+        for g in range(n_groups):
+            s, e = int(starts[g]), int(ends[g])
+            bs = s + _variable_boundaries(
                 part[s:e], bsz, cfg.vbmw_quantum, cfg.vbmw_lambda)
-        else:
-            blk_starts = np.arange(s, e, bsz)
-        blk_ends = np.append(blk_starts[1:], e)
-        blk_last = g_docs[blk_ends - s - 1]  # last doc of each block
-        blk_max = np.maximum.reduceat(part[s:e], blk_starts - s).astype(np.float32)
-        tf_offs = (tf_byte_off[blk_starts] - tf_byte_off[s]).astype(np.int32)
-        if cfg.codec == "varint":
-            d_bin = bytes(doc_mv[doc_byte_off[s]:doc_byte_off[e]])
-            d_offs = (doc_byte_off[blk_starts] - doc_byte_off[s]).astype(np.int32)
-        else:
-            # per-block encode over block-relative monotone values
-            chunks, d_offs, off = [], [], 0
-            b0 = int(base[s])
-            for bs, be in zip(blk_starts, blk_ends):
-                prev_last = int(docs[bs - 1]) if bs > s else b0
-                buf = codecs.encode_gap_stream(docs[bs:be], prev_last,
-                                               cfg.codec)
-                d_offs.append(off)
-                chunks.append(buf)
-                off += len(buf)
-            d_bin = b"".join(chunks)
-            d_offs = np.array(d_offs, dtype=np.int32)
-        rows.append((
-            int(shard[s]), int(term[s]), int(n), int(tf_sums[s]),
-            int(base[s]), int(g_docs[-1]),
-            blk_last.tolist(), d_offs.tolist(), tf_offs.tolist(),
-            blk_max.tolist(),
-            d_bin, bytes(tf_mv[tf_byte_off[s]:tf_byte_off[e]]),
-        ))
-    return pd.DataFrame(rows, columns=[
-        "shard_id", "term_id", "n", "sum_tf", "base_doc", "last_doc",
-        "block_last_docs", "block_doc_offs", "block_tf_offs",
-        "block_max_part", "docs_bin", "tfs_bin",
-    ])
+            parts_list.append(bs)
+            nblk[g] = bs.size
+        abs_start = np.concatenate(parts_list)
+        cum_nblk = np.concatenate(([0], np.cumsum(nblk)))
+    else:
+        n_g = ends - starts
+        nblk = (n_g + bsz - 1) // bsz
+        cum_nblk = np.concatenate(([0], np.cumsum(nblk)))
+        total = int(cum_nblk[-1])
+        grp_of_blk = np.repeat(np.arange(n_groups), nblk)
+        blk_in_grp = np.arange(total) - cum_nblk[grp_of_blk]
+        abs_start = starts[grp_of_blk] + blk_in_grp * bsz
+    total = int(cum_nblk[-1])
+    if cfg.block_partition == "variable":
+        grp_of_blk = np.repeat(np.arange(n_groups), nblk)
+    abs_end = np.empty(total, dtype=np.int64)
+    abs_end[:-1] = abs_start[1:]
+    abs_end[cum_nblk[1:] - 1] = ends  # last block of each group
+
+    blk_last = docs[abs_end - 1]
+    blk_max = np.maximum.reduceat(part, abs_start).astype(np.float32)
+    grp_start_of_blk = starts[grp_of_blk]
+    tf_offs_vals = (tf_byte_off[abs_start]
+                    - tf_byte_off[grp_start_of_blk]).astype(np.int32)
+
+    # ---- docID streams + per-block byte offsets
+    if cfg.codec == "varint":
+        doc_bytes, doc_lens_b = codecs.varint_encode_with_lengths(gaps)
+        doc_byte_off = np.concatenate(([0], np.cumsum(doc_lens_b)))
+        d_offs_vals = (doc_byte_off[abs_start]
+                       - doc_byte_off[grp_start_of_blk]).astype(np.int32)
+        grp_doc_bytes = doc_byte_off[np.append(starts, n_rows)]
+    else:
+        # per-block encode over block-relative monotone values
+        chunks: list[bytes] = []
+        chunk_lens = np.empty(total, dtype=np.int64)
+        for b in range(total):
+            bs, be = int(abs_start[b]), int(abs_end[b])
+            gs = int(grp_start_of_blk[b])
+            prev_last = int(docs[bs - 1]) if bs > gs else int(base[gs])
+            buf = codecs.encode_gap_stream(docs[bs:be], prev_last, cfg.codec)
+            chunks.append(buf)
+            chunk_lens[b] = len(buf)
+        doc_bytes = b"".join(chunks)
+        cum_chunk = np.concatenate(([0], np.cumsum(chunk_lens)))
+        d_offs_vals = (cum_chunk[:-1]
+                       - cum_chunk[cum_nblk[grp_of_blk]]).astype(np.int32)
+        grp_doc_bytes = cum_chunk[cum_nblk]
+
+    # ---- assemble the Arrow batch (zero-copy where the layout allows)
+    offs32 = cum_nblk.astype(np.int32)
+
+    def _list(vals: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(offs32, type=pa.int32()), pa.array(vals, type=typ))
+
+    def _bin(stream: bytes, grp_offs: np.ndarray) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(), n_groups,
+            [None, pa.py_buffer(grp_offs.astype(np.int32)),
+             pa.py_buffer(stream)])
+
+    if term_dict is not None:
+        import pyarrow.compute as pc
+
+        term_col = pc.take(term_dict, pa.array(term[starts]))
+        out_schema = ENCODED_STR_PA_SCHEMA
+    else:
+        term_col = pa.array(term[starts], type=pa.int64())
+        out_schema = ENCODED_PA_SCHEMA
+    arrays = [
+        pa.array(shard[starts], type=pa.int64()),
+        term_col,
+        pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+        pa.array(np.add.reduceat(tfs, starts).astype(np.int64),
+                 type=pa.int64()),
+        pa.array(base[starts], type=pa.int64()),
+        pa.array(docs[ends - 1], type=pa.int64()),
+        _list(blk_last, pa.int64()),
+        _list(d_offs_vals, pa.int32()),
+        _list(tf_offs_vals, pa.int32()),
+        _list(blk_max, pa.float32()),
+        _bin(doc_bytes, grp_doc_bytes),
+        _bin(tf_bytes, tf_byte_off[np.append(starts, n_rows)]),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _encode_batch(pdf: pd.DataFrame, cfg: IndexConfig, stats: dict,
+                  scorer) -> pd.DataFrame:
+    """pandas shim over _encode_arrays (tests + small callers)."""
+    if not len(pdf):
+        return _empty_encoded()
+    rb = _encode_arrays(
+        pdf["shard_id"].to_numpy(), pdf["term_id"].to_numpy(),
+        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
+        pdf["doc_len"].to_numpy(), cfg, stats, scorer,
+        df=pdf["df"].to_numpy() if "df" in pdf else None,
+        cf=pdf["cf"].to_numpy() if "cf" in pdf else None)
+    return rb.to_pandas()
 
 
 def _group_carry(batches: Iterator[pd.DataFrame], encode) -> Iterator[pd.DataFrame]:
@@ -257,19 +347,53 @@ def _group_carry(batches: Iterator[pd.DataFrame], encode) -> Iterator[pd.DataFra
         yield encode(carry)
 
 
+def _arrow_cols(rb: pa.RecordBatch, names: list[str]) -> dict:
+    return {c: rb.column(c).to_numpy(zero_copy_only=False) for c in names}
+
+
+def _encode_col_stream(batches: Iterator[pa.RecordBatch], names: list[str],
+                       encode) -> Iterator[pa.RecordBatch]:
+    """Stream Arrow batches of sorted (shard_id, term_id, ...) rows into
+    `encode`, carrying the (possibly incomplete) trailing group of each
+    batch into the next so no group is split. Columns travel as numpy
+    arrays end-to-end — no pandas materialization."""
+    carry: dict | None = None
+    for rb in batches:
+        cols = _arrow_cols(rb, names)
+        if carry is not None and carry["shard_id"].size:
+            cols = {c: np.concatenate([carry[c], cols[c]]) for c in names}
+        n = cols["shard_id"].size
+        if n == 0:
+            continue
+        # rows are sorted, so the trailing group is the contiguous run of
+        # rows equal to the last (shard_id, term_id) key
+        tail = ((cols["shard_id"] == cols["shard_id"][-1])
+                & (cols["term_id"] == cols["term_id"][-1]))
+        if tail.all():
+            carry = cols
+            continue
+        first_tail = int(np.flatnonzero(tail).min())
+        carry = {c: cols[c][first_tail:] for c in names}
+        yield encode({c: cols[c][:first_tail] for c in names})
+    if carry is not None and carry["shard_id"].size:
+        yield encode(carry)
+
+
 def encode_postings(tf_df, cfg: IndexConfig, stats: dict,
                     num_partitions: int | None = None):
     """tf_df: (term_id, doc_id, tf, doc_len[, df, cf]) -> encoded posting rows.
 
     One shuffle, hash-partitioned on (shard_id, term_id) — the salted
     repartition-by-term-hash of the north rule with shard_id as the
-    deterministic salt — then partition-local sort + streaming encode.
+    deterministic salt — then partition-local sort + streaming encode
+    (mapInArrow: numpy in, zero-copy Arrow out; no pandas boundary).
     """
     from pyspark.sql import functions as F
 
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
-    if (not scorer.separable and not getattr(scorer, "stats_free", False)
-            and ("df" not in tf_df.columns or "cf" not in tf_df.columns)):
+    need_stats = (not scorer.separable
+                  and not getattr(scorer, "stats_free", False))
+    if need_stats and ("df" not in tf_df.columns or "cf" not in tf_df.columns):
         raise ValueError("non-separable scorer requires df/cf columns in tf_df")
 
     with_shard = tf_df.withColumn(
@@ -280,12 +404,20 @@ def encode_postings(tf_df, cfg: IndexConfig, stats: dict,
         .repartition(parts, "shard_id", "term_id")
         .sortWithinPartitions("shard_id", "term_id", "doc_id")
     )
+    names = ["shard_id", "term_id", "doc_id", "tf", "doc_len"]
+    if "df" in tf_df.columns and "cf" in tf_df.columns:
+        names += ["df", "cf"]
+
+    def encode(cols: dict) -> pa.RecordBatch:
+        return _encode_arrays(
+            cols["shard_id"], cols["term_id"], cols["doc_id"],
+            cols["tf"], cols["doc_len"], cfg, stats, scorer,
+            df=cols.get("df"), cf=cols.get("cf"))
 
     def run(batches):
-        yield from _group_carry(
-            batches, lambda pdf: _encode_batch(pdf, cfg, stats, scorer))
+        yield from _encode_col_stream(batches, names, encode)
 
-    return arranged.mapInPandas(run, schema=ENCODED_SCHEMA)
+    return arranged.select(*names).mapInArrow(run, schema=ENCODED_SCHEMA)
 
 
 def encode_postings_docwise(doc_terms, vocab: dict, cfg: IndexConfig,
@@ -326,51 +458,199 @@ def encode_postings_docwise(doc_terms, vocab: dict, cfg: IndexConfig,
         .sortWithinPartitions("shard_id", "doc_id")
     )
 
-    def encode_shards(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = bc.value
-        n_tok = pdf["terms"].map(len).to_numpy(dtype=np.int64)
-        doc = np.repeat(pdf["doc_id"].to_numpy(), n_tok)
-        dl = np.repeat(pdf["doc_len"].to_numpy(), n_tok)
-        if len(doc) == 0:
-            return _encode_batch(pd.DataFrame({
-                "shard_id": [], "term_id": [], "doc_id": [], "tf": [],
-                "doc_len": []}), cfg, stats, scorer)
-        terms_flat = np.concatenate(pdf["terms"].to_numpy())
-        tfs_flat = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
-        tid = pd.Series(terms_flat).map(v).to_numpy(dtype=np.int64)
-        order = np.lexsort((doc, tid, doc // span))
-        flat = pd.DataFrame({
-            "shard_id": (doc // span)[order],
-            "term_id": tid[order],
-            "doc_id": doc[order],
-            "tf": tfs_flat[order],
-            "doc_len": dl[order],
-        })
-        return _encode_batch(flat, cfg, stats, scorer)
+    vocab_holder: list = []  # per-executor lazily-built Arrow value set
+
+    def encode_shards(rb: pa.RecordBatch) -> pa.RecordBatch:
+        import pyarrow.compute as pc
+
+        if not vocab_holder:
+            v = bc.value
+            # value set ordered by term_id, so index_in IS the id lookup
+            vocab_holder.append(pa.array(sorted(v, key=v.get)))
+        doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+        dls = rb.column("doc_len").to_numpy(zero_copy_only=False)
+        terms_list = rb.column("terms")
+        n_tok = pc.list_value_length(terms_list).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(doc_ids, n_tok)
+        if doc.size == 0:
+            return _empty_encoded_batch()
+        dl = np.repeat(dls, n_tok)
+        tid = pc.index_in(terms_list.flatten(), vocab_holder[0]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tfs_flat = rb.column("tfs").flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sh = doc // span
+        order = np.lexsort((doc, tid, sh))
+        return _encode_arrays(sh[order], tid[order], doc[order],
+                              tfs_flat[order], dl[order], cfg, stats, scorer)
 
     def run(batches):
-        # carry whole shards across Arrow batches (same trick as
-        # _group_carry but keyed on shard_id only: a shard's docs are
-        # contiguous after the sort)
-        carry = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        # carry whole shards across Arrow batches (same trick as the
+        # exploded path's carry but keyed on shard_id only: a shard's docs
+        # are contiguous after the sort)
+        carry: pa.RecordBatch | None = None
+        for rb in batches:
+            if carry is not None and carry.num_rows:
+                rb = (pa.Table.from_batches([carry, rb])
+                      .combine_chunks().to_batches()[0])
+            if not rb.num_rows:
                 continue
-            last = pdf["shard_id"].iat[-1]
-            tail = pdf["shard_id"].to_numpy() == last
+            shard_np = rb.column("shard_id").to_numpy(zero_copy_only=False)
+            tail = shard_np == shard_np[-1]
             if tail.all():
-                carry = pdf
+                carry = rb
                 continue
             first_tail = int(np.flatnonzero(tail).min())
-            complete, carry = pdf.iloc[:first_tail], pdf.iloc[first_tail:]
-            if len(complete):
-                yield encode_shards(complete)
-        if carry is not None and len(carry):
+            carry = rb.slice(first_tail)
+            yield encode_shards(rb.slice(0, first_tail))
+        if carry is not None and carry.num_rows:
             yield encode_shards(carry)
 
-    return arranged.mapInPandas(run, schema=ENCODED_SCHEMA)
+    return arranged.mapInArrow(run, schema=ENCODED_SCHEMA)
+
+
+def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
+                                num_partitions: int | None = None):
+    """Doc-wise encode WITHOUT a vocabulary: emits string-keyed encoded
+    rows (ENCODED_STR_SCHEMA). Terms are dictionary-encoded batch-locally
+    (Arrow C kernel), groups keyed on the local codes, and the term string
+    re-attached per encoded row — so no vocab broadcast, no term-id
+    assignment, and no flat (term, doc, tf) shuffle anywhere before the
+    encode. The lexicon is derived AFTERWARD from these rows (~avg_len x
+    fewer than flat postings) and term_ids joined back (plans/build.py).
+
+    Works for ANY vocabulary size; the binding constraint is the per-task
+    working set of one doc-shard's exploded tokens (cfg.shard_span x
+    avg_len) — plans/build.py gates on that and falls back to
+    encode_postings_str above the bound."""
+    from pyspark.sql import functions as F
+
+    scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    if not scorer.separable and not getattr(scorer, "stats_free", False):
+        raise ValueError("docwise encode requires separable/stats-free scorer")
+    spark = doc_terms.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    span = cfg.shard_span
+
+    from pisa_spark.operators.partitioning import (partition_values,
+                                                   round_robin_expr)
+
+    vals = partition_values(spark, parts)
+    arranged = (
+        doc_terms.select(
+            (F.col("doc_id") / F.lit(span)).cast("long").alias("shard_id"),
+            "doc_id", "doc_len", "terms", "tfs")
+        .repartition(parts, round_robin_expr(F.col("shard_id"), parts, vals))
+        .sortWithinPartitions("shard_id", "doc_id")
+    )
+
+    def encode_shards(rb: pa.RecordBatch) -> pa.RecordBatch:
+        import pyarrow.compute as pc
+
+        doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+        dls = rb.column("doc_len").to_numpy(zero_copy_only=False)
+        terms_list = rb.column("terms")
+        n_tok = pc.list_value_length(terms_list).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(doc_ids, n_tok)
+        if doc.size == 0:
+            return pa.RecordBatch.from_pylist([],
+                                              schema=ENCODED_STR_PA_SCHEMA)
+        dl = np.repeat(dls, n_tok)
+        dict_enc = terms_list.flatten().dictionary_encode()
+        tid = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs_flat = rb.column("tfs").flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sh = doc // span
+        order = np.lexsort((doc, tid, sh))
+        return _encode_arrays(sh[order], tid[order], doc[order],
+                              tfs_flat[order], dl[order], cfg, stats, scorer,
+                              term_dict=dict_enc.dictionary)
+
+    def run(batches):
+        carry: pa.RecordBatch | None = None
+        for rb in batches:
+            if carry is not None and carry.num_rows:
+                rb = (pa.Table.from_batches([carry, rb])
+                      .combine_chunks().to_batches()[0])
+            if not rb.num_rows:
+                continue
+            shard_np = rb.column("shard_id").to_numpy(zero_copy_only=False)
+            tail = shard_np == shard_np[-1]
+            if tail.all():
+                carry = rb
+                continue
+            first_tail = int(np.flatnonzero(tail).min())
+            carry = rb.slice(first_tail)
+            yield encode_shards(rb.slice(0, first_tail))
+        if carry is not None and carry.num_rows:
+            yield encode_shards(carry)
+
+    return arranged.mapInArrow(run, schema=ENCODED_STR_SCHEMA)
+
+
+def encode_postings_str(flat_df, cfg: IndexConfig, stats: dict,
+                        num_partitions: int | None = None):
+    """String-keyed exploded encode: flat_df (term string, doc_id, tf,
+    doc_len) -> ENCODED_STR_SCHEMA rows. The web-scale fallback when one
+    doc-shard's token mass exceeds the docwise working-set bound: shuffles
+    the flat rows on (shard_id, term) — each group still bounded by
+    shard_span postings — and group-detects on batch-local dictionary
+    codes (monotone over the sorted input)."""
+    from pyspark.sql import functions as F
+
+    scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    if not scorer.separable and not getattr(scorer, "stats_free", False):
+        raise ValueError("string-keyed encode requires separable/stats-free "
+                         "scorer (df/cf flows use the term_id path)")
+    with_shard = flat_df.withColumn(
+        "shard_id", (F.col("doc_id") / F.lit(cfg.shard_span)).cast("long"))
+    parts = (num_partitions
+             or with_shard.sparkSession.sparkContext.defaultParallelism * 2)
+    arranged = (
+        with_shard
+        .repartition(parts, "shard_id", "term")
+        .sortWithinPartitions("shard_id", "term", "doc_id")
+        .select("shard_id", "term", "doc_id", "tf", "doc_len")
+    )
+
+    def encode(rb: pa.RecordBatch) -> pa.RecordBatch:
+        dict_enc = rb.column("term").dictionary_encode()
+        tid = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return _encode_arrays(
+            rb.column("shard_id").to_numpy(zero_copy_only=False),
+            tid,
+            rb.column("doc_id").to_numpy(zero_copy_only=False),
+            rb.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
+            rb.column("doc_len").to_numpy(zero_copy_only=False),
+            cfg, stats, scorer, term_dict=dict_enc.dictionary)
+
+    def run(batches):
+        carry: pa.RecordBatch | None = None
+        for rb in batches:
+            if carry is not None and carry.num_rows:
+                rb = (pa.Table.from_batches([carry, rb])
+                      .combine_chunks().to_batches()[0])
+            if not rb.num_rows:
+                continue
+            shard_np = rb.column("shard_id").to_numpy(zero_copy_only=False)
+            last_term = rb.column("term")[rb.num_rows - 1]
+            import pyarrow.compute as pc
+
+            term_tail = pc.equal(rb.column("term"), last_term).to_numpy(
+                zero_copy_only=False)
+            tail = (shard_np == shard_np[-1]) & term_tail
+            if tail.all():
+                carry = rb
+                continue
+            first_tail = int(np.flatnonzero(tail).min())
+            carry = rb.slice(first_tail)
+            yield encode(rb.slice(0, first_tail))
+        if carry is not None and carry.num_rows:
+            yield encode(carry)
+
+    return arranged.mapInArrow(run, schema=ENCODED_STR_SCHEMA)
 
 
 # ------------------------------------------------------------------- decode

@@ -78,7 +78,8 @@ def reorder_index(index, mapping, cfg: IndexConfig | None = None):
 def recursive_graph_bisection(docs_terms, depth: int | None = None,
                               iterations: int = 5,
                               id_col: str = "doc_id", url_col: str = "url",
-                              terms_col: str = "terms"):
+                              terms_col: str = "terms",
+                              checkpoint_dir: str | None = None):
     """Recursive graph bisection (BP) docID reordering, Spark-distributed.
 
     Reference include/pisa/recursive_graph_bisection.hpp:31-369: recursively
@@ -104,11 +105,32 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
 
     docs_terms: (doc_id, url, terms array) — e.g. from tokenize or
     bp_mapping(index). Returns (doc_id, new_doc_id).
+
+    checkpoint_dir (reliable restart, north-rule lineage requirement): each
+    (level, iteration) state lands as a parquet artifact through a
+    BuildManifest — a killed multi-hour BP run resumes at the last finished
+    iteration instead of restarting, and a lost executor can never lose
+    state (localCheckpoint, the default for short runs, stores blocks on
+    executors and dies with them). Each checkpoint also truncates the
+    level's lineage, so job graphs stay O(1) deep instead of O(levels x
+    iterations).
     """
     import math
 
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+
+    from pisa_spark.plans.checkpoint import BuildManifest
+
+    manifest = BuildManifest(checkpoint_dir) if checkpoint_dir else None
+    spark = docs_terms.sparkSession
+
+    def ckpt(df, tag: str):
+        if manifest is None:
+            return df.localCheckpoint()
+        if not manifest.done(tag):
+            manifest.write_df(tag, df)
+        return manifest.read_df(spark, tag)
 
     n = docs_terms.count()
     if depth is None:
@@ -123,15 +145,19 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
                             (F.col("_rn") * 2 > F.col("_cnt")).cast("int"))
                 .drop("_rn", "_cnt"))
 
-    state = assign_sides(
+    state = ckpt(assign_sides(
         docs_terms.select(id_col, url_col, terms_col)
-        .withColumn("node", F.lit(0).cast("long"))).localCheckpoint()
+        .withColumn("node", F.lit(0).cast("long"))), "bp/init")
 
     def log2p(c):  # log2 clamped at 0 for degree/size 0
         return F.log2(F.greatest(c.cast("double"), F.lit(1.0)))
 
     for level in range(depth):
-        for _ in range(iterations):
+        for it in range(iterations):
+            tag = f"bp/level={level}/iter={it}"
+            if manifest is not None and manifest.done(tag):
+                state = manifest.read_df(spark, tag)  # resume: skip compute
+                continue
             flat = state.select(id_col, "node", "side",
                                 F.explode(terms_col).alias("_t"))
             degs = flat.groupBy("node", "_t").agg(
@@ -169,17 +195,17 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
                      .filter(F.col("_gl") + F.col("_gr") > 0)
                      .select(F.explode(F.array("_ld", "_rd")).alias(id_col),
                              F.lit(1).alias("_sw")))
-            state = (ranked.drop("_gain", "_r")
-                     .join(swaps, id_col, "left")
-                     .withColumn("side", F.when(F.col("_sw") == 1,
-                                                1 - F.col("side"))
-                                 .otherwise(F.col("side")))
-                     .drop("_sw")).localCheckpoint()
+            state = ckpt((ranked.drop("_gain", "_r")
+                          .join(swaps, id_col, "left")
+                          .withColumn("side", F.when(F.col("_sw") == 1,
+                                                     1 - F.col("side"))
+                                      .otherwise(F.col("side")))
+                          .drop("_sw")), tag)
         if level + 1 < depth:
-            state = assign_sides(
+            state = ckpt(assign_sides(
                 state.withColumn(
                     "node", F.col("node") * 2 + F.col("side"))
-            ).localCheckpoint()
+            ), f"bp/level={level}/split")
         else:
             state = state.withColumn(
                 "node", F.col("node") * 2 + F.col("side"))
@@ -195,7 +221,8 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
 
 
 def bp_mapping(index, cfg: IndexConfig | None = None,
-               depth: int | None = None, iterations: int = 5):
+               depth: int | None = None, iterations: int = 5,
+               checkpoint_dir: str | None = None):
     """BP reorder mapping for an existing index: rebuild the per-doc term
     lists from the encoded postings (the reference's forward_index input,
     forward_index.hpp:1-151) and run recursive_graph_bisection."""
@@ -212,7 +239,8 @@ def bp_mapping(index, cfg: IndexConfig | None = None,
                   .withColumn("terms", F.coalesce(
                       "terms", F.array().cast("array<long>"))))
     return recursive_graph_bisection(docs_terms, depth=depth,
-                                     iterations=iterations)
+                                     iterations=iterations,
+                                     checkpoint_dir=checkpoint_dir)
 
 
 def compressed_size(index):

@@ -429,73 +429,85 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             manifest.write_df("docs", docs)
             docs = manifest.read_df(spark, "docs")
 
-    # flat forward index: (doc_id, doc_len, term, tf) — JVM-side explode of
-    # the compact per-doc arrays (map_to_postings, reference invert.cpp:43-53)
-    flat_terms = doc_terms.select(
-        "doc_id", "doc_len",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("z")
-    ).select(
-        "doc_id", "doc_len",
-        F.col("z.terms").alias("term"),
-        F.col("z.tfs").cast("long").alias("tf"))
-
-    # ---- stage: lexicon (sorted distinct terms -> dense term_ids, like
-    # fwd.terms; reference src/forward_index_builder.cpp:168-177). The
-    # distinct-terms table is persisted first so cut-point sampling scans
-    # the (small) cache instead of re-running the distinct aggregation.
-    vocab_map = None
-    if manifest and manifest.done("lexicon_base"):
-        lexicon_base = manifest.read_df(spark, "lexicon_base")
-    else:
-        terms_distinct = flat_terms.select("term").distinct()
-        # optimistic limited collect: ONE job decides small-vs-web-scale
-        # vocabulary AND fetches it when small (replaces count + collect +
-        # cache build on the common path; a too-big vocabulary costs one
-        # wasted limited job and falls through to the distributed ranking)
-        probe = terms_distinct.limit(cfg.lexicon_broadcast_max + 1).collect()
-        if len(probe) <= cfg.lexicon_broadcast_max:
-            vocab = sorted(r[0] for r in probe)
-            vocab_map = {t: i for i, t in enumerate(vocab)}
-            lex_with_ids = spark.createDataFrame(
-                list(zip(vocab, range(len(vocab)))),
-                "term string, term_id long")
-        else:
-            terms_distinct = terms_distinct.persist(
-                StorageLevel.MEMORY_AND_DISK_DESER)
-            term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
-            lex_with_ids, _lex_cache, _ = assign_rank_ids(
-                terms_distinct, "term", "term_id", term_cuts, parts)
-        if manifest:
-            manifest.write_df("lexicon_base", lex_with_ids)
-            lexicon_base = manifest.read_df(spark, "lexicon_base")
-            terms_distinct.unpersist()
-        else:
-            lexicon_base = lex_with_ids
-    _phase("lexicon_base")
-
-    # ---- stage: tf table (term remap, reference :176-194)
-    tf_full = (
-        flat_terms
-        .join(lexicon_base.select("term", "term_id"), "term")
-        .select("term_id", "doc_id", "tf", "doc_len")
-    )
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    plain_scoring = (cfg.quantize_bits is None
+                     and (scorer.separable
+                          or getattr(scorer, "stats_free", False)))
+    # lexicon-LAST flow (the default/bm25 path): encode string-keyed posting
+    # rows first, then derive the lexicon from the ENCODED rows (~avg_len x
+    # fewer than flat postings) and join term_ids back. This removes the
+    # vocabulary probe/distinct job over the flat token stream, the vocab
+    # broadcast, and the flat-postings/lexicon join — the three pieces that
+    # do not shrink with executors. Quantized and non-separable-scorer
+    # builds need per-term stats BEFORE encoding, so they keep the
+    # lexicon-first flow, as does the manifest path (bucket resume is keyed
+    # on stable term_ids).
+    lexicon_last = plain_scoring and manifest is None
+    vocab_map = None
     true_term_stats = None
-    if cfg.quantize_bits and cfg.scorer != "quantized":
-        # score every posting (float32), quantize into the tf slot, and
-        # flip the index to the pass-through scorer — the reference's
-        # compress --quantize flow (block_inverted_index.hpp:446-468,
-        # linear_quantizer.cpp; its wand-data pass likewise re-streams the
-        # index to find the global max score first).
-        tf_full, cfg, scorer, true_term_stats = _quantize_postings(
-            tf_full, cfg, scorer, stats)
-    elif not scorer.separable:
-        # non-separable scorers need df/cf at encode time (full-score block
-        # maxima); separable ones derive term stats from the encoded rows
-        term_stats_pre = (
-            tf_full.groupBy("term_id")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
-        tf_full = tf_full.join(term_stats_pre, "term_id")
+    if not lexicon_last:
+        # flat forward index: (doc_id, doc_len, term, tf) — JVM-side explode
+        # of the compact per-doc arrays (map_to_postings, invert.cpp:43-53)
+        flat_terms = doc_terms.select(
+            "doc_id", "doc_len",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("z")
+        ).select(
+            "doc_id", "doc_len",
+            F.col("z.terms").alias("term"),
+            F.col("z.tfs").cast("long").alias("tf"))
+
+        # ---- stage: lexicon (sorted distinct terms -> dense term_ids, like
+        # fwd.terms; reference src/forward_index_builder.cpp:168-177)
+        if manifest and manifest.done("lexicon_base"):
+            lexicon_base = manifest.read_df(spark, "lexicon_base")
+        else:
+            terms_distinct = flat_terms.select("term").distinct()
+            # optimistic limited collect: ONE job decides small-vs-web-scale
+            # vocabulary AND fetches it when small
+            probe = terms_distinct.limit(
+                cfg.lexicon_broadcast_max + 1).collect()
+            if len(probe) <= cfg.lexicon_broadcast_max:
+                vocab = sorted(r[0] for r in probe)
+                vocab_map = {t: i for i, t in enumerate(vocab)}
+                lex_with_ids = spark.createDataFrame(
+                    list(zip(vocab, range(len(vocab)))),
+                    "term string, term_id long")
+            else:
+                terms_distinct = terms_distinct.persist(
+                    StorageLevel.MEMORY_AND_DISK_DESER)
+                term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
+                lex_with_ids, _lex_cache, _ = assign_rank_ids(
+                    terms_distinct, "term", "term_id", term_cuts, parts)
+            if manifest:
+                manifest.write_df("lexicon_base", lex_with_ids)
+                lexicon_base = manifest.read_df(spark, "lexicon_base")
+                terms_distinct.unpersist()
+            else:
+                lexicon_base = lex_with_ids
+        _phase("lexicon_base")
+
+        # ---- stage: tf table (term remap, reference :176-194)
+        tf_full = (
+            flat_terms
+            .join(lexicon_base.select("term", "term_id"), "term")
+            .select("term_id", "doc_id", "tf", "doc_len")
+        )
+        if cfg.quantize_bits and cfg.scorer != "quantized":
+            # score every posting (float32), quantize into the tf slot, and
+            # flip the index to the pass-through scorer — the reference's
+            # compress --quantize flow (block_inverted_index.hpp:446-468,
+            # linear_quantizer.cpp; its wand-data pass likewise re-streams
+            # the index to find the global max score first).
+            tf_full, cfg, scorer, true_term_stats = _quantize_postings(
+                tf_full, cfg, scorer, stats)
+        elif not scorer.separable:
+            # non-separable scorers need df/cf at encode time (full-score
+            # block maxima); separable ones derive term stats from the
+            # encoded rows
+            term_stats_pre = (
+                tf_full.groupBy("term_id")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+            tf_full = tf_full.join(term_stats_pre, "term_id")
 
     # ---- stage: per-shard doc length arrays (wand_data doc_lens).
     # Defined here so eager mode can materialize it CONCURRENTLY with the
@@ -550,19 +562,71 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         for p in bucket_paths:
             spark.catalog.refreshByPath(p)
         postings = spark.read.parquet(*bucket_paths)
-    elif (vocab_map is not None and cfg.quantize_bits is None
-          and (scorer.separable or getattr(scorer, "stats_free", False))):
+        _phase("encode_postings")
+    elif lexicon_last:
+        from pisa_spark.operators.postings import (encode_postings_docwise_str,
+                                                   encode_postings_str)
+
+        if cfg.shard_span * max(stats["avg_len"], 1.0) <= cfg.docwise_max_tokens:
+            # doc-wise: shuffles the compact per-doc token rows by shard
+            # (~avg_len x less data than the exploded rows)
+            enc_str = encode_postings_docwise_str(doc_terms, cfg, stats)
+        else:
+            # shard token mass exceeds the docwise working-set bound:
+            # exploded (shard, term)-shuffled encode, groups bounded by
+            # shard_span postings regardless of document length
+            flat = doc_terms.select(
+                "doc_id", "doc_len",
+                F.explode(F.arrays_zip("terms", "tfs")).alias("z")
+            ).select("doc_id", "doc_len",
+                     F.col("z.terms").alias("term"),
+                     F.col("z.tfs").cast("long").alias("tf"))
+            enc_str = encode_postings_str(flat, cfg, stats)
+        enc_str = enc_str.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        if eager:
+            enc_str.count()
+        _phase("encode_postings")
+
+        # ---- stage: lexicon from the ENCODED rows (sorted distinct terms
+        # -> dense term_ids, fwd.terms semantics) + term_id join-back.
+        terms_distinct = enc_str.select("term").distinct()
+        probe = terms_distinct.limit(cfg.lexicon_broadcast_max + 1).collect()
+        if len(probe) <= cfg.lexicon_broadcast_max:
+            vocab = sorted(r[0] for r in probe)
+            vocab_map = {t: i for i, t in enumerate(vocab)}
+            lexicon_base = spark.createDataFrame(
+                list(zip(vocab, range(len(vocab)))),
+                "term string, term_id long")
+            postings = (enc_str.join(F.broadcast(lexicon_base), "term")
+                        .drop("term"))
+        else:
+            terms_distinct = terms_distinct.persist(
+                StorageLevel.MEMORY_AND_DISK_DESER)
+            term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
+            lexicon_base, _lex_cache, _ = assign_rank_ids(
+                terms_distinct, "term", "term_id", term_cuts, parts)
+            lexicon_base = lexicon_base.select("term", "term_id")
+            postings = (enc_str.join(lexicon_base, "term").drop("term"))
+        from pisa_spark.operators.postings import _ENCODED_COLUMNS
+
+        postings = postings.select(*_ENCODED_COLUMNS).persist()
+        if eager:
+            postings.count()
+            enc_str.unpersist()
+        _phase("lexicon_base")
+    elif vocab_map is not None and plain_scoring:
         # broadcastable vocabulary: doc-wise encode skips the exploded
         # (term, doc, tf) shuffle entirely (operators/postings.py)
         postings = encode_postings_docwise(
             doc_terms, vocab_map, cfg, stats).persist()
         if eager:
             postings.count()
+        _phase("encode_postings")
     else:
         postings = encode_postings(tf_full, cfg, stats).persist()
         if eager:
             postings.count()
-    _phase("encode_postings")
+        _phase("encode_postings")
 
     # ---- stage: per-shard doc length arrays — defined above; join the
     # concurrent materialization (or write through the manifest)

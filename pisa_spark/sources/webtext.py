@@ -150,6 +150,42 @@ def generate(spark, n_docs: int, seed: int = 13, partitions: int | None = None):
     return base.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
 
 
+def generate_clustered(spark, n_docs: int, n_clusters: int = 16,
+                       seed: int = 17, vocab_per_cluster: int = 120,
+                       partitions: int | None = None):
+    """(url, text) corpus of topical clusters with disjoint content
+    vocabularies where the URL carries NO topical signal (keyed on a
+    multiplicative hash of the doc index). On this shape URL ordering is
+    equivalent to random for gap compression, while recursive graph
+    bisection can rediscover the clusters and co-locate their docIDs —
+    the corpus the BP-vs-URL layout comparison needs (the i.i.d. main
+    corpus cannot show a BP win; docs/src/guide/reordering.md:46-66)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, 1, partitions)
+    probs = _zipf_probs(vocab_per_cluster)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+                c = i % n_clusters
+                n = int(rng.integers(30, 80))
+                toks = [f"c{c:02d}t{j:03d}"
+                        for j in rng.choice(vocab_per_cluster, size=n, p=probs)]
+                for _ in range(int(rng.integers(2, 6))):
+                    toks.insert(int(rng.integers(0, len(toks) + 1)),
+                                STOPWORDS[int(rng.integers(0, len(STOPWORDS)))])
+                url = f"https://x{(i * 2654435761) % (1 << 32):08x}.example/{i}"
+                rows.append((url, " ".join(toks)))
+            yield pd.DataFrame(rows, columns=["url", "text"])
+
+    return base.mapInPandas(gen, schema="url string, text string")
+
+
 def synth_queries(n_queries: int = 100, seed: int = 29) -> list[str]:
     """Reference-style query lines 'Qi:term term ...' (FIXTURES.md §2):
     1-6 terms sampled across the df spectrum, with duplicate-term queries

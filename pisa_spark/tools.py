@@ -115,17 +115,21 @@ def thresholds(index, queries: list[str], k: int = 10,
 
 
 def kth_threshold(index, queries: list[str], k: int = 10,
-                  pairs: bool = False):
+                  pairs: bool = False, triples: bool = False):
     """Threshold lower bound per query (reference tools/kth_threshold.cpp):
 
     - single-term estimate: max over the query's terms of the k-th best
       single-posting score (kth_threshold.cpp single-term loop);
     - with pairs=True, additionally the k-th best PAIRWISE intersection
       score (sum of the two contributions per shared doc,
-      kth_threshold.cpp:52-90) — tighter on conjunctive-ish queries.
+      kth_threshold.cpp:52-90) — tighter on conjunctive-ish queries;
+    - with triples=True, additionally the k-th best TRIPLE intersection
+      score (same reference loop accepts a triples file).
 
-    Both estimates are true scores of real docs, so the max is a safe
-    (rank-preserving) seed for topk_search(thresholds=...)."""
+    All estimates are true scores of real docs, so the max is a safe
+    (rank-preserving) seed for topk_search(thresholds=...). Size-m doc
+    intersections build level-wise on size-(m-1) ones (one join per level,
+    same shape as intersection())."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -138,26 +142,43 @@ def kth_threshold(index, queries: list[str], k: int = 10,
                     .select("term_id", F.col("score").alias("kth")))
     est = (qt.join(kth_per_term, "term_id")
            .groupBy("qid").agg(F.max("kth").alias("threshold")))
-    if not pairs:
+    max_terms = 3 if triples else (2 if pairs else 1)
+    if max_terms == 1:
         return est
-    qsp = qt.join(sp, "term_id").select("qid", "term_id", "doc_id", "score")
-    a = qsp.select("qid", F.col("term_id").alias("term_a"),
-                   "doc_id", F.col("score").alias("score_a"))
-    b = qsp.select("qid", F.col("term_id").alias("term_b"),
-                   "doc_id", F.col("score").alias("score_b"))
-    wp = W.partitionBy("qid", "term_a", "term_b").orderBy(
-        F.desc("pair_score"), F.asc("doc_id"))
-    pair_kth = (
-        a.join(b, ["qid", "doc_id"])
-        .filter(F.col("term_a") < F.col("term_b"))
-        .withColumn("pair_score",
-                    (F.col("score_a") + F.col("score_b")).cast("float"))
-        .withColumn("_r", F.row_number().over(wp))
-        .filter(F.col("_r") == k)
-        .groupBy("qid").agg(F.max("pair_score").alias("pair_threshold")))
-    return (est.join(pair_kth, "qid", "left")
+    qsp = (qt.join(sp, "term_id")
+           .select("qid", "term_id", "doc_id", "score")
+           .localCheckpoint(eager=False))
+    ext = qsp.select("qid", "doc_id",
+                     F.col("term_id").alias("_t"),
+                     F.col("score").cast("double").alias("_es"))
+    cur = qsp.select(
+        "qid", "doc_id",
+        F.array("term_id").alias("terms"),
+        F.col("term_id").alias("_maxt"),
+        F.col("score").cast("double").alias("_s"))
+    seeds = []
+    for m in range(2, max_terms + 1):
+        cur = (cur.join(ext, ["qid", "doc_id"])
+               .filter(F.col("_t") > F.col("_maxt"))
+               .select("qid", "doc_id",
+                       F.array_append("terms", F.col("_t")).alias("terms"),
+                       F.col("_t").alias("_maxt"),
+                       (F.col("_s") + F.col("_es")).alias("_s")))
+        wm = W.partitionBy("qid", "terms").orderBy(
+            F.desc("_s"), F.asc("doc_id"))
+        seeds.append(
+            cur.withColumn("_r", F.row_number().over(wm))
+            .filter(F.col("_r") == k)
+            .groupBy("qid")
+            .agg(F.max(F.col("_s").cast("float")).alias("sub_threshold")))
+    sub = seeds[0]
+    for s in seeds[1:]:
+        sub = sub.unionByName(s)
+    sub_kth = sub.groupBy("qid").agg(
+        F.max("sub_threshold").alias("sub_threshold"))
+    return (est.join(sub_kth, "qid", "left")
             .select("qid", F.greatest(
-                "threshold", F.coalesce("pair_threshold", F.lit(0.0)))
+                "threshold", F.coalesce("sub_threshold", F.lit(0.0)))
                 .cast("float").alias("threshold")))
 
 

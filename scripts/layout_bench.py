@@ -44,6 +44,8 @@ def main() -> None:
         "bp128_fixed": {"codec": "bp128"},
         "ef_fixed": {"codec": "ef"},
         "opt_fixed": {"codec": "opt"},
+        "pef_fixed": {"codec": "pef"},
+        "bic_fixed": {"codec": "bic"},
         "varint_variable": {"block_partition": "variable"},
         "bp128_variable": {"codec": "bp128", "block_partition": "variable"},
     }
@@ -101,7 +103,31 @@ def main() -> None:
             rnd.postings.unpersist()
             rnd.shards.unpersist()
         idx.postings.unpersist()
-    print(json.dumps({"n_docs": n_docs, "queries": 100, "layouts": out}))
+
+    # ---- BP vs URL ordering on a CLUSTERED corpus (url order carries no
+    # topical signal there — the shape where graph bisection must win;
+    # the i.i.d. corpus above cannot show this, BENCH.md noise note)
+    from pisa_spark.operators.reorder import (bp_mapping, compressed_size,
+                                              reorder_index)
+
+    bp_docs = min(n_docs, 12000)
+    clustered = webtext.generate_clustered(spark, bp_docs, n_clusters=16)
+    ccfg = IndexConfig(shard_span=1 << 14, codec="ef")
+    cidx = build_index(clustered, ccfg)  # URL-ordered by default
+    url_bytes = int(compressed_size(cidx))
+    bp = bp_mapping(cidx, iterations=4)
+    bidx = reorder_index(cidx, bp, ccfg)
+    bp_bytes = int(compressed_size(bidx))
+    out_bp = {
+        "n_docs": bp_docs,
+        "codec": "ef",
+        "url_order_bytes": url_bytes,
+        "bp_order_bytes": bp_bytes,
+        "bp_reduction_pct": round(100.0 * (url_bytes - bp_bytes)
+                                  / max(url_bytes, 1), 2),
+    }
+    print(json.dumps({"n_docs": n_docs, "queries": 100, "layouts": out,
+                      "bp_clustered": out_bp}))
 
 
 if __name__ == "__main__":

@@ -169,3 +169,36 @@ def test_recursive_graph_bisection_mapping(spark, small_index):
 
     rand_idx = reorder_index(small_index, random_mapping(small_index.docs, 7))
     assert compressed_size(bp_idx) <= compressed_size(rand_idx)
+
+
+def test_bp_checkpoint_resume_and_clustered_win(spark, tmp_path):
+    """Reliable BP restart (north-rule lineage requirement): with
+    checkpoint_dir every (level, iteration) state is a parquet artifact; a
+    rerun resumes (identical mapping, zero recompute — manifest timestamps
+    unchanged). On a clustered corpus whose urls carry no topical signal,
+    the BP order must beat the URL order for compressed size — the win the
+    i.i.d. corpus cannot show."""
+    import json
+
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.operators.reorder import bp_mapping
+    from pisa_spark.plans.build import build_index
+
+    clustered = webtext.generate_clustered(spark, 600, n_clusters=8)
+    cfg = IndexConfig(shard_span=256, codec="ef")
+    idx = build_index(clustered, cfg)  # URL order (default)
+
+    ck = str(tmp_path / "bp_ck")
+    m1 = bp_mapping(idx, depth=3, iterations=3, checkpoint_dir=ck).collect()
+    stamps1 = json.load(open(f"{ck}/manifest.json"))["completed"]
+    assert any(k.startswith("bp/level=") for k in stamps1)
+    m2 = bp_mapping(idx, depth=3, iterations=3, checkpoint_dir=ck).collect()
+    stamps2 = json.load(open(f"{ck}/manifest.json"))["completed"]
+    assert {k: v["ts"] for k, v in stamps1.items()} == \
+           {k: v["ts"] for k, v in stamps2.items()}  # nothing recomputed
+    key = lambda rows: sorted((r["doc_id"], r["new_doc_id"]) for r in rows)
+    assert key(m1) == key(m2)
+
+    bp_idx = reorder_index(idx, spark.createDataFrame(
+        m1, "doc_id long, new_doc_id long"), cfg)
+    assert compressed_size(bp_idx) < compressed_size(idx)

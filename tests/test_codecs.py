@@ -35,7 +35,7 @@ def test_ef_roundtrip(values):
 
 @given(
     st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True),
-    st.sampled_from(["varint", "ef", "bp128", "opt"]),
+    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "bic"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_gap_stream_roundtrip(docs, codec):
@@ -48,7 +48,7 @@ def test_gap_stream_roundtrip(docs, codec):
 
 def test_gap_stream_base_minus_one():
     docs = np.array([0, 1, 5, 100], dtype=np.int64)
-    for codec in ("varint", "ef", "bp128", "opt"):
+    for codec in ("varint", "ef", "bp128", "opt", "pef", "bic"):
         buf = encode_gap_stream(docs, -1, codec)
         assert (decode_gap_stream(buf, -1, codec, 4) == docs).all()
 
@@ -145,3 +145,38 @@ def test_variable_boundaries_objective_and_span():
         # the DP must never be worse than the fixed partition (fixed
         # boundaries all sit on the quantum grid when bsz % quantum == 0)
         assert objective(starts, lam) <= objective(fixed, lam) + 1e-6
+
+
+def test_pef_partition_choices_and_sizes():
+    """Partitioned EF (reference optimal_partition.hpp semantics): a dense
+    run collapses to near-zero payload (all-ones partitions), clustered
+    data beats plain EF, and the partition DP never loses to single-part
+    EF by more than the directory overhead."""
+    from pisa_spark.operators.codecs import ef_encode, pef_decode, pef_encode
+
+    rng = np.random.default_rng(11)
+    dense = np.arange(500, dtype=np.uint64)
+    buf = pef_encode(dense, int(dense[-1]))
+    out, _ = pef_decode(buf)
+    assert (out == dense).all()
+    assert len(buf) < 40  # ~0 bits payload + directory
+    clustered = np.sort(np.concatenate([
+        np.arange(1000, 1128), rng.choice(10**6, 128, replace=False) + 10**4
+    ]).astype(np.uint64))
+    clustered = np.unique(clustered)
+    p = pef_encode(clustered, int(clustered[-1]))
+    e = ef_encode(clustered, int(clustered[-1]))
+    assert (pef_decode(p)[0] == clustered).all()
+    assert len(p) <= len(e) + 16
+
+
+def test_bic_roundtrip_and_dense_advantage():
+    from pisa_spark.operators.codecs import bic_decode, bic_encode
+
+    rng = np.random.default_rng(13)
+    for n in (1, 2, 37, 256):
+        v = np.sort(rng.choice(n * 20, n, replace=False)).astype(np.uint64)
+        out, _ = bic_decode(bic_encode(v, int(v[-1])))
+        assert (out == v).all()
+    dense = np.arange(3, 400, dtype=np.uint64)
+    assert len(bic_encode(dense, int(dense[-1]))) < 10  # runs cost ~0 bits

@@ -92,6 +92,47 @@ def test_simhash_pairs_symmetric_for_dups(documents, doc_pdf):
             assert (a, b) in got
 
 
+def test_simhash_band_schemes_exact_and_bounded(spark, documents):
+    """The k-of-m pair-combo banding must emit EXACTLY the brute-force
+    hamming<=3 pair set (pigeonhole guarantee), while generating fewer
+    band-key collisions than the minimal single-chunk scheme — the property
+    that keeps bucket joins bounded when the corpus grows 100x."""
+    sh = dedup.simhash(documents).toPandas()
+    vals = sh.set_index("doc_id").simhash.to_dict()
+    ids = sorted(vals)
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(vals[a] ^ vals[b]).count("1") <= 3}
+    pair_scheme = {(r.doc_a, r.doc_b) for r in
+                   dedup.simhash_pairs(documents, max_hamming=3,
+                                       n_chunks=6).collect()}
+    single_scheme = {(r.doc_a, r.doc_b) for r in
+                     dedup.simhash_pairs(documents, max_hamming=3,
+                                         n_chunks=4).collect()}
+    assert pair_scheme == brute
+    assert single_scheme == brute
+
+    # candidate volume: count band-key collisions under each scheme
+    def collisions(n_chunks):
+        bits = 60 // n_chunks
+        mask = (1 << bits) - 1
+        from collections import Counter
+        cnt = Counter()
+        if n_chunks - 3 >= 2:
+            combos = [(i, j) for i in range(n_chunks)
+                      for j in range(i + 1, n_chunks)]
+            for v in vals.values():
+                for ci, (i, j) in enumerate(combos):
+                    cnt[(ci, ((v >> (i * bits)) & mask) << bits
+                         | ((v >> (j * bits)) & mask))] += 1
+        else:
+            for v in vals.values():
+                for c in range(n_chunks):
+                    cnt[(c, (v >> (c * bits)) & mask)] += 1
+        return sum(k * (k - 1) // 2 for k in cnt.values())
+
+    assert collisions(6) <= collisions(4)
+
+
 def test_cosine_topk_vs_numpy(embeddings, sf_dir):
     qids = [0, 1, 2]
     got = similarity.cosine_topk(embeddings, qids, k=5).toPandas()

@@ -151,6 +151,28 @@ def test_kth_threshold_pairs_safe_and_tighter(index, queries):
             assert t <= truth[qid] + 1e-6
 
 
+def test_kth_threshold_triples_safe_and_tighter(index, queries):
+    """Triple-seeded thresholds (kth_threshold.cpp also accepts a triples
+    file) stay rank-identical and are >= the pair estimate."""
+    pair = {r["qid"]: float(r["threshold"])
+            for r in tools.kth_threshold(index, queries[:6], k=K,
+                                         pairs=True).collect()}
+    trip = {r["qid"]: float(r["threshold"])
+            for r in tools.kth_threshold(index, queries[:6], k=K,
+                                         triples=True).collect()}
+    for qid, t in trip.items():
+        assert t >= pair[qid] - 1e-6
+    base = topk_search(index, queries[:6], k=K, with_urls=False).collect()
+    seeded = topk_search(index, queries[:6], k=K, with_urls=False,
+                         thresholds=trip).collect()
+    key = lambda rows: sorted((r.qid, r.rank, r.doc_id) for r in rows)
+    assert key(base) == key(seeded)
+    truth = {r["qid"]: r["score"] for r in base if r["rank"] == K}
+    for qid, t in trip.items():
+        if qid in truth:
+            assert t <= truth[qid] + 1e-6
+
+
 def test_selective_queries(index, queries):
     out = tools.selective_queries(index, queries, max_ratio=2.0).collect()
     assert len(out) == len({r["qid"] for r in out})
