@@ -51,9 +51,11 @@ def build_bench(spark, n_docs: int, repeats: int | None = None) -> dict:
     from scripts.scaling_bench import warm_python_workers
 
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    # ~30 shards at 60k docs: encode/query parallelism above the core
-    # count (at real scale shards >> cores for any span; see scaling_bench)
-    cfg = IndexConfig(shard_span=1 << 11)
+    # ~117 shards at 60k docs: encode/query task count well above the 32
+    # cores so whole-shard granularity can't idle cores or create
+    # quantization stragglers (at real scale shards >> cores for any span;
+    # see scaling_bench)
+    cfg = IndexConfig(shard_span=1 << 9)
     pages = _corpus(spark, n_docs,
                     f"/root/repo/.cache/bench_corpus_{n_docs}")
     # untimed warm-up: python-worker pool + JIT over the same code paths

@@ -205,7 +205,7 @@ def _pef_part_cost(m: int, span: int) -> tuple[int, int]:
 
 
 def pef_encode(values: np.ndarray, universe: int, quantum: int = 8,
-               dir_overhead: int = 4) -> bytes:
+               dir_overhead: int = 4, uniform: int | None = None) -> bytes:
     """Partitioned Elias-Fano over a strictly-increasing uint64 array
     (reference sequence/partitioned_sequence.hpp + optimal_partition.hpp:
     choose partition boundaries minimizing total encoded size, where each
@@ -219,37 +219,46 @@ def pef_encode(values: np.ndarray, universe: int, quantum: int = 8,
 
     Layout: varint n | varint universe | varint n_parts, then per partition
     varint m | varint last (relative to sequence start) | 1B tag |
-    varint payload_len | payload."""
+    varint payload_len | payload.
+
+    uniform=K skips the DP and cuts fixed K-element partitions — the
+    reference's uniform_partitioned_sequence.hpp variant (cheaper to build,
+    same per-partition representations; decoder is shared)."""
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
     header = varint_encode(np.array([n, universe], dtype=np.uint64))
     if n == 0:
         return header + varint_encode(np.array([0], dtype=np.uint64))
-    nodes = list(range(0, n, quantum)) + [n]
-    if nodes[-2] == n:  # n divisible by quantum
-        nodes = nodes[:-1]
-    m_nodes = len(nodes)
     v_int = v.astype(np.int64)
-    INF = float("inf")
-    dist = [INF] * m_nodes
-    prev_n = [0] * m_nodes
-    dist[0] = 0.0
-    for j in range(1, m_nodes):
-        e = nodes[j]
-        for i in range(j - 1, -1, -1):
-            s = nodes[i]
-            lo = int(v_int[s - 1]) + 1 if s > 0 else 0
-            span = int(v_int[e - 1]) - lo
-            _, payload = _pef_part_cost(e - s, span)
-            c = dist[i] + payload + dir_overhead
-            if c < dist[j]:
-                dist[j] = c
-                prev_n[j] = i
-    # backtrack partition boundaries
-    bounds = [m_nodes - 1]
-    while bounds[-1] > 0:
-        bounds.append(prev_n[bounds[-1]])
-    bounds = [nodes[b] for b in reversed(bounds)]
+    if uniform is not None:
+        bounds = list(range(0, n, max(1, uniform))) + [n]
+        if bounds[-2] == n:
+            bounds = bounds[:-1]
+    else:
+        nodes = list(range(0, n, quantum)) + [n]
+        if nodes[-2] == n:  # n divisible by quantum
+            nodes = nodes[:-1]
+        m_nodes = len(nodes)
+        INF = float("inf")
+        dist = [INF] * m_nodes
+        prev_n = [0] * m_nodes
+        dist[0] = 0.0
+        for j in range(1, m_nodes):
+            e = nodes[j]
+            for i in range(j - 1, -1, -1):
+                s = nodes[i]
+                lo = int(v_int[s - 1]) + 1 if s > 0 else 0
+                span = int(v_int[e - 1]) - lo
+                _, payload = _pef_part_cost(e - s, span)
+                c = dist[i] + payload + dir_overhead
+                if c < dist[j]:
+                    dist[j] = c
+                    prev_n[j] = i
+        # backtrack partition boundaries
+        bounds = [m_nodes - 1]
+        while bounds[-1] > 0:
+            bounds.append(prev_n[bounds[-1]])
+        bounds = [nodes[b] for b in reversed(bounds)]
     parts = []
     for s, e in zip(bounds[:-1], bounds[1:]):
         lo = int(v_int[s - 1]) + 1 if s > 0 else 0
@@ -414,7 +423,7 @@ def bic_decode(buf: bytes) -> tuple[np.ndarray, int]:
 
 # ------------------------------------------------------- posting-row codecs
 
-CODECS = ("varint", "ef", "bp128", "opt", "pef", "bic")
+CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic")
 
 # per-block optimal dispatch: each block is encoded with whichever base
 # codec is smallest and tagged with one byte — the role of the reference's
@@ -439,6 +448,9 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "pef":
         rel = (d - base - 1).astype(np.uint64)
         return pef_encode(rel, int(rel[-1]) if rel.size else 0)
+    if codec == "pefu":
+        rel = (d - base - 1).astype(np.uint64)
+        return pef_encode(rel, int(rel[-1]) if rel.size else 0, uniform=64)
     if codec == "bic":
         rel = (d - base - 1).astype(np.uint64)
         return bic_encode(rel, int(rel[-1]) if rel.size else 0)
@@ -465,7 +477,7 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         if count is not None and gaps.size != count:
             raise ValueError("bp128 stream count mismatch")
         return np.cumsum(gaps + 1) + base
-    if codec == "pef":
+    if codec in ("pef", "pefu"):  # shared layout/decoder
         rel, _ = pef_decode(buf)
         if count is not None and rel.size != count:
             raise ValueError("pef stream count mismatch")

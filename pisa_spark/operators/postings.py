@@ -12,7 +12,7 @@ Scale design (the part the reference, a single-node engine, never needed):
   merges doc-sorted batch runs (src/invert.cpp:163-236). Doc-sharding is
   also the reference's own distribution story (range_query over docID
   ranges, include/pisa/range_query.hpp:8-37).
-- Rows are encoded by a mapInPandas kernel over partitions hash-partitioned
+- Rows are encoded by a mapInArrow kernel over partitions hash-partitioned
   on (shard_id, term_id) and sorted on (shard_id, term_id, doc_id): groups
   are contiguous; a carry buffer stitches groups split across Arrow batches.
   No collect_list ever materializes a full posting list as one JVM object.

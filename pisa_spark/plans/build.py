@@ -583,14 +583,14 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                      F.col("z.tfs").cast("long").alias("tf"))
             enc_str = encode_postings_str(flat, cfg, stats)
         enc_str = enc_str.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-        if eager:
-            enc_str.count()
-        _phase("encode_postings")
-
         # ---- stage: lexicon from the ENCODED rows (sorted distinct terms
         # -> dense term_ids, fwd.terms semantics) + term_id join-back.
+        # The vocabulary probe IS the materializing action for the encode
+        # cache (cache-on-first-scan): one job pays for both, instead of a
+        # count() pass followed by a separate distinct pass.
         terms_distinct = enc_str.select("term").distinct()
         probe = terms_distinct.limit(cfg.lexicon_broadcast_max + 1).collect()
+        _phase("encode_postings")
         if len(probe) <= cfg.lexicon_broadcast_max:
             vocab = sorted(r[0] for r in probe)
             vocab_map = {t: i for i, t in enumerate(vocab)}

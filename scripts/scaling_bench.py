@@ -101,11 +101,14 @@ def worker(cores: int, n_docs: int) -> None:
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         corpus = f"/root/repo/.cache/bench_corpus_{n_docs}"
     pages = spark.read.parquet(corpus)
-    # span sized so n_shards (~74 at 300k docs) stays well above every
-    # measured level's encode parallelism — at 100 TB any sane span gives
-    # millions of shards, so few-shards-vs-many-cores is purely a
-    # small-corpus artifact the benchmark must not measure
-    cfg = IndexConfig(shard_span=1 << 13)
+    # span sized so n_shards (~147 at 300k docs) stays WELL above every
+    # measured level's encode/query partition count (16 at local[8]) — with
+    # shards ~ partitions, whole-shard task granularity quantizes to a
+    # ceil(n/p)/mean straggler that penalizes the HIGHER level (~1.3x at 37
+    # shards/16 parts) and corrupts the ratio. At 100 TB any sane span
+    # gives millions of shards, so few-shards-vs-many-cores is purely a
+    # small-corpus artifact the benchmark must not measure.
+    cfg = IndexConfig(shard_span=1 << 11)
 
     # ---- warm-up (untimed): pool + JIT over the same code paths
     warm_python_workers(spark, cores)

@@ -35,7 +35,7 @@ def test_ef_roundtrip(values):
 
 @given(
     st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True),
-    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "bic"]),
+    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_gap_stream_roundtrip(docs, codec):
@@ -48,7 +48,7 @@ def test_gap_stream_roundtrip(docs, codec):
 
 def test_gap_stream_base_minus_one():
     docs = np.array([0, 1, 5, 100], dtype=np.int64)
-    for codec in ("varint", "ef", "bp128", "opt", "pef", "bic"):
+    for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic"):
         buf = encode_gap_stream(docs, -1, codec)
         assert (decode_gap_stream(buf, -1, codec, 4) == docs).all()
 
