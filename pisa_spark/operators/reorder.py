@@ -106,14 +106,17 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
     docs_terms: (doc_id, url, terms array) — e.g. from tokenize or
     bp_mapping(index). Returns (doc_id, new_doc_id).
 
-    checkpoint_dir (reliable restart, north-rule lineage requirement): each
-    (level, iteration) state lands as a parquet artifact through a
-    BuildManifest — a killed multi-hour BP run resumes at the last finished
-    iteration instead of restarting, and a lost executor can never lose
-    state (localCheckpoint, the default for short runs, stores blocks on
-    executors and dies with them). Each checkpoint also truncates the
-    level's lineage, so job graphs stay O(1) deep instead of O(levels x
-    iterations).
+    State handling: each (level, iteration) state lands as a parquet
+    artifact through a BuildManifest, truncating lineage so job graphs stay
+    O(1) deep. With checkpoint_dir set (reliable restart, north-rule
+    lineage requirement) every artifact is kept and a killed multi-hour BP
+    run resumes at the last finished iteration; without it the state lives
+    in a session temp dir and superseded artifacts are pruned as the loop
+    advances. (localCheckpoint state is NOT used at all: besides dying with
+    a lost executor, its unknown-stats LogicalRDD leaves trip a
+    pathological BigInteger blow-up in Catalyst size estimation over the
+    iteration's join-heavy plans — measured minutes of pure planning at
+    6k docs vs 35 s end-to-end with parquet state.)
     """
     import math
 
@@ -122,28 +125,56 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
 
     from pisa_spark.plans.checkpoint import BuildManifest
 
-    manifest = BuildManifest(checkpoint_dir) if checkpoint_dir else None
     spark = docs_terms.sparkSession
+    # The iteration state is ALWAYS parquet-backed: localCheckpoint state
+    # (LogicalRDD leaves with unknown stats) trips a pathological
+    # BigInteger blow-up in Catalyst's size-in-bytes estimation over the
+    # iteration's join-heavy plans — a 6k-doc BP that takes 35 s with
+    # parquet state never finished PLANNING with localCheckpoint. Parquet
+    # relations carry real file sizes, and the artifacts double as restart
+    # points. Without checkpoint_dir the state lives in a session temp dir
+    # (same lifecycle as Spark's own spark-* scratch dirs) and is removed
+    # on completion; pass checkpoint_dir to keep it for restart.
+    _tmp_dir = None
+    if checkpoint_dir is None:
+        import tempfile
+
+        _tmp_dir = tempfile.mkdtemp(prefix="pisa_bp_state_")
+        manifest = BuildManifest(_tmp_dir)
+    else:
+        manifest = BuildManifest(checkpoint_dir)
+
+    _last_tag: list = []
 
     def ckpt(df, tag: str):
-        if manifest is None:
-            return df.localCheckpoint()
         if not manifest.done(tag):
             manifest.write_df(tag, df)
-        return manifest.read_df(spark, tag)
+        out = manifest.read_df(spark, tag)
+        if _tmp_dir is not None:
+            # session-temp mode: only the newest state is ever re-read, so
+            # prune the superseded artifact (each is forward-index-sized)
+            if _last_tag:
+                import shutil
+
+                shutil.rmtree(manifest.artifact_path(_last_tag[0]),
+                              ignore_errors=True)
+            _last_tag[:] = [tag]
+        return out
 
     n = docs_terms.count()
     if depth is None:
         depth = max(1, int(math.log2(max(n, 2))) - 5)
 
     def assign_sides(df):
+        # single window: ntile(2) gives the first ceil(n/2) rows tile 1 —
+        # exactly the rn*2 <= cnt split, without a second count() window
+        # (two stacked window specs over this join-heavy lineage trip a
+        # pathological BigInteger blow-up in Catalyst's size-in-bytes
+        # estimation: plan stats multiply Long.MaxValue leaf sizes across
+        # the duplicated subtrees and planning spins for minutes)
         w = W.partitionBy("node").orderBy(url_col, id_col)
-        cw = W.partitionBy("node")
-        return (df.withColumn("_rn", F.row_number().over(w))
-                .withColumn("_cnt", F.count("*").over(cw))
-                .withColumn("side",
-                            (F.col("_rn") * 2 > F.col("_cnt")).cast("int"))
-                .drop("_rn", "_cnt"))
+        return df.withColumn(
+            "side", (F.ntile(2).over(w) - F.lit(1)).cast("int"))
 
     state = ckpt(assign_sides(
         docs_terms.select(id_col, url_col, terms_col)
@@ -151,6 +182,25 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
 
     def log2p(c):  # log2 clamped at 0 for degree/size 0
         return F.log2(F.greatest(c.cast("double"), F.lit(1.0)))
+
+    state = _bp_levels(state, depth, iterations,
+                       manifest if _tmp_dir is None else None, spark, ckpt,
+                       assign_sides, log2p, id_col, terms_col)
+
+    # tree order (node path, then url inside leaves) IS the permutation
+    from pisa_spark.plans.build import dense_ids
+
+    keyed = state.select(
+        id_col, F.format_string("%012d|%s", F.col("node"),
+                                F.col(url_col)).alias("_k"))
+    out, _cache = dense_ids(keyed, "_k", "new_doc_id")
+    return out.select(id_col, "new_doc_id")
+
+
+def _bp_levels(state, depth, iterations, manifest, spark, ckpt,
+               assign_sides, log2p, id_col, terms_col):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
 
     for level in range(depth):
         for it in range(iterations):
@@ -209,15 +259,7 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
         else:
             state = state.withColumn(
                 "node", F.col("node") * 2 + F.col("side"))
-
-    # tree order (node path, then url inside leaves) IS the permutation
-    from pisa_spark.plans.build import dense_ids
-
-    keyed = state.select(
-        id_col, F.format_string("%012d|%s", F.col("node"),
-                                F.col(url_col)).alias("_k"))
-    out, _cache = dense_ids(keyed, "_k", "new_doc_id")
-    return out.select(id_col, "new_doc_id")
+    return state
 
 
 def bp_mapping(index, cfg: IndexConfig | None = None,

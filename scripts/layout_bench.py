@@ -54,6 +54,7 @@ def main() -> None:
     for name, kw in layouts.items():
         cfg = IndexConfig(shard_span=1 << 14, **kw)
         idx = build_index(pages, cfg, html_col="html")
+        idx.postings.count()  # materialize before measuring
         size = idx.postings.agg(
             F.sum(F.length("docs_bin")).alias("doc_bytes"),
             F.sum(F.length("tfs_bin")).alias("tf_bytes"),
@@ -102,7 +103,9 @@ def main() -> None:
             }
             rnd.postings.unpersist()
             rnd.shards.unpersist()
-        idx.postings.unpersist()
+        print(json.dumps({"layout": name, **out[name]}), flush=True)
+        spark.catalog.clearCache()  # lexicon/shards/encode caches too —
+        # leaking 8 layouts' caches into one local JVM GC-thrashes it
 
     # ---- BP vs URL ordering on a CLUSTERED corpus (url order carries no
     # topical signal there — the shape where graph bisection must win;
@@ -110,12 +113,12 @@ def main() -> None:
     from pisa_spark.operators.reorder import (bp_mapping, compressed_size,
                                               reorder_index)
 
-    bp_docs = min(n_docs, 12000)
+    bp_docs = min(n_docs, 6000)
     clustered = webtext.generate_clustered(spark, bp_docs, n_clusters=16)
-    ccfg = IndexConfig(shard_span=1 << 14, codec="ef")
+    ccfg = IndexConfig(shard_span=1 << 11, codec="ef")
     cidx = build_index(clustered, ccfg)  # URL-ordered by default
     url_bytes = int(compressed_size(cidx))
-    bp = bp_mapping(cidx, iterations=4)
+    bp = bp_mapping(cidx, depth=6, iterations=3)
     bidx = reorder_index(cidx, bp, ccfg)
     bp_bytes = int(compressed_size(bidx))
     out_bp = {
