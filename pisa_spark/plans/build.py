@@ -609,10 +609,13 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             postings = (enc_str.join(lexicon_base, "term").drop("term"))
         from pisa_spark.operators.postings import _ENCODED_COLUMNS
 
-        postings = postings.select(*_ENCODED_COLUMNS).persist()
-        if eager:
-            postings.count()
-            enc_str.unpersist()
+        # postings stays a LAZY broadcast-join view over the cached encoded
+        # rows: materializing it into a second cache would re-copy the
+        # whole index through memory (measured 3-15 s per build, pure
+        # bandwidth) for a join that costs microseconds per probe at query
+        # time. enc_str (already materialized by the vocab probe) is the
+        # single backing cache.
+        postings = postings.select(*_ENCODED_COLUMNS)
         _phase("lexicon_base")
     elif vocab_map is not None and plain_scoring:
         # broadcastable vocabulary: doc-wise encode skips the exploded
