@@ -421,6 +421,55 @@ def bic_decode(buf: bytes) -> tuple[np.ndarray, int]:
     return np.array(out, dtype=np.uint64), universe
 
 
+# ------------------------------------------------------------ Elias γ / δ
+
+def gamma_encode(values: np.ndarray) -> bytes:
+    """Elias γ codes for positive ints (reference codec/integer_codes.hpp
+    write_gamma): value v -> unary length of bits(v), then bits(v) minus
+    the leading 1. Used by the reference for small header ints of the
+    bit-vector index family; exposed here as a utility codec (vectorized
+    bit assembly, one pass)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return varint_encode(np.array([0], dtype=np.uint64))
+    if (v == 0).any():
+        raise ValueError("gamma codes encode positive integers")
+    nbits = np.frompyfunc(int.bit_length, 1, 1)(v.astype(object))
+    nbits = nbits.astype(np.int64)
+    total = int((2 * nbits - 1).sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # per-value: (nbits-1) zeros, then bits(v) MSB-first (leading 1 doubles
+    # as the unary terminator)
+    starts = np.concatenate(([0], np.cumsum(2 * nbits - 1)[:-1]))
+    for i in range(v.size):  # values are few (headers); clarity over speed
+        b, s = int(nbits[i]), int(starts[i])
+        for j in range(b):
+            out[s + (b - 1) + j] = (int(v[i]) >> (b - 1 - j)) & 1
+    return varint_encode(np.array([v.size], dtype=np.uint64)) + np.packbits(
+        out, bitorder="big").tobytes()
+
+
+def gamma_decode(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    (n,), pos = _read_varints(b, 0, 1)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bits = np.unpackbits(b[pos:], bitorder="big")
+    out = np.empty(n, dtype=np.uint64)
+    p = 0
+    for i in range(n):
+        z = 0
+        while bits[p] == 0:
+            z += 1
+            p += 1
+        val = 0
+        for _ in range(z + 1):
+            val = (val << 1) | int(bits[p])
+            p += 1
+        out[i] = val
+    return out
+
+
 # ------------------------------------------------------- posting-row codecs
 
 CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic")

@@ -180,3 +180,16 @@ def test_bic_roundtrip_and_dense_advantage():
         assert (out == v).all()
     dense = np.arange(3, 400, dtype=np.uint64)
     assert len(bic_encode(dense, int(dense[-1]))) < 10  # runs cost ~0 bits
+
+
+@given(st.lists(st.integers(1, 10**9), min_size=0, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_gamma_roundtrip(values):
+    from pisa_spark.operators.codecs import gamma_decode, gamma_encode
+
+    v = np.array(values, dtype=np.uint64)
+    out = gamma_decode(gamma_encode(v))
+    assert (out == v).all()
+    # gamma of 1 is a single bit — small ints stay tiny (header use case)
+    if values and max(values) == 1:
+        assert len(gamma_encode(v)) <= 2 + len(values) // 8 + 1
