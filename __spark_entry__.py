@@ -19,8 +19,12 @@ Cross-engine determinism rules used throughout:
 - integer outputs are cast to long (DuckDB count/len return BIGINT).
 
 The float32 reference-faithful scoring path (index + pruned executors) is
-exercised by entries without oracle_sql (rows-only checks) and by the pytest
-rank-identity suite (tests/test_topk.py) against the exhaustive oracle.
+oracle-checked on its RANK surface (the pruned executors share the
+exhaustive BM25 SQL projected to (qid, doc_id, rank)) and further pinned by
+the pytest rank-identity suite (tests/test_topk.py). The five remaining
+rows-only entries (lsh_ann_topk, stemmed_token_stats, taily_stats,
+profile_queries, taily_thresholds) have no faithful SQL twin — each one's
+docstring says why.
 """
 
 from __future__ import annotations
@@ -188,6 +192,13 @@ def _q_bm25_topk(spark, sf_dir):
 
 
 def _q_bm25_topk_bmw(spark, sf_dir):
+    """Block-Max-WAND over the f32 index, oracled against the f32-faithful
+    BM25 SQL (_bm25_f32_rank_sql) on (qid, doc_id, rank): the pruned kernel
+    is rank-identical to the exhaustive executor by construction (strict
+    bound < theta skips + canonical rescoring; pytest rank-identity, ref
+    test/test_ranked_queries.cpp:119-168 pins the same pruned ≡ exhaustive
+    contract), and the driver hash verifies the full f32 ranking against
+    an independent engine's float32 arithmetic."""
     from pyspark.sql import functions as F
 
     from pisa_spark.operators.topk import topk_search
@@ -199,6 +210,8 @@ def _q_bm25_topk_bmw(spark, sf_dir):
 
 
 def _q_bm25_topk_maxscore(spark, sf_dir):
+    """MaxScore over the f32 index — same oracle contract as
+    _q_bm25_topk_bmw (pruned ≡ exhaustive, rank-compared)."""
     from pyspark.sql import functions as F
 
     from pisa_spark.operators.topk import topk_search
@@ -206,14 +219,13 @@ def _q_bm25_topk_maxscore(spark, sf_dir):
     idx = _get_index(spark, sf_dir)
     res = topk_search(idx, QUERY_SET, k=10, algorithm="maxscore")
     return _with_orig_doc_id(res).select(
-        "qid", "doc_id", F.col("score").cast("double").alias("score_f32"),
-        F.col("rank").cast("long").alias("rank"))
+        "qid", "doc_id", F.col("rank").cast("long").alias("rank"))
 
 
 def _q_bm25_topk_batch(spark, sf_dir):
     """Shard-partitioned batch executor (queries broadcast, one kernel pass
-    per shard for the whole query set) — rows-only check; rank identity vs
-    the join executor is pinned by tests/test_topk.py."""
+    per shard for the whole query set) — same oracle contract as
+    _q_bm25_topk_bmw (identical kernels, batch physical plan)."""
     from pyspark.sql import functions as F
 
     from pisa_spark.operators.topk import topk_search_batch
@@ -316,6 +328,10 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
+    """Bucketed approximate NN (rows-only: the LSH candidate set is
+    seed-dependent and approximate by design, so no SQL oracle can mirror
+    it; recall vs the exact cosine_topk oracle is pinned by
+    tests/test_pipeline_ops)."""
     from pyspark.sql import functions as F
 
     from pisa_spark.operators.similarity import lsh_ann_topk
@@ -502,6 +518,9 @@ def _q_profile_queries(spark, sf_dir):
 
 
 def _q_taily_stats(spark, sf_dir):
+    """Per-term Taily gamma-model moments over the f32 index (rows-only:
+    the moments are float32 aggregates of index-internal score parts with
+    no SQL twin; estimator quality pinned by tests/test_sharding_readers)."""
     from pyspark.sql import functions as F
 
     from pisa_spark import tools
@@ -626,6 +645,53 @@ select distinct a.doc_id as doc_a, b.doc_id as doc_b,
 from chunks a join chunks b
   on a.chunk = b.chunk and a.cval = b.cval and a.doc_id < b.doc_id
 where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _bm25_f32_rank_sql(qv: str) -> str:
+    """DuckDB oracle reproducing the INDEX kernels' float32 BM25 bit-for-bit
+    (functions/scoring.py Bm25 + topk._canonical_scores), compared on the
+    (qid, doc_id, rank) surface.
+
+    Why not the rounded-double oracle: on this synthetic corpus every
+    vocabulary term but one has df ~ 0.76N, so idf clamps to the 1e-6 floor
+    and all scores collapse into round-6 tie groups hundreds of docs wide —
+    the double oracle's doc-asc tie-break and the engine's exact-f32
+    ordering then legitimately disagree. DuckDB FLOAT arithmetic is IEEE
+    float32 (ops between REALs stay REAL), so the oracle can instead
+    replicate the engine's arithmetic: idf and doc_part in f32 with the
+    same expression grouping, contributions summed in ascending term order
+    (list_reduce fold = the kernel's canonical left-to-right f32
+    accumulation), ranking on the exact f32 totals with doc-asc ties."""
+    r = "cast({} as real)".format
+    half, one, k1, b, eps = (r("0.5"), r("1"), r("0.9"), r("0.4"), r("1e-6"))
+    idf = (f"cast(greatest({eps}, cast(ln(cast("
+           f"((cast(stats.n as real) - cast(dft.df as real)) + {half}) / "
+           f"(cast(dft.df as real) + {half}) as real)) as real)) as real) "
+           f"* ({one} + {k1})")
+    part = (f"cast(tf.tf as real) / (cast(tf.tf as real) + {k1} * "
+            f"(({one} - {b}) + {b} * (cast(dl.dl as real) / stats.avgr)))")
+    return f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+dft as (select term, count(distinct doc_id) as df from tf group by term),
+stats as (select (select count(*) from documents) as n,
+                 cast((select sum(dl) from dl)::double
+                      / (select count(*) from documents) as real) as avgr),
+qt as (select distinct qid, term from {qv}),
+contrib as (
+  select qt.qid, tf.doc_id, tf.term, ({idf}) * ({part}) as c
+  from qt join tf using(term) join dl on tf.doc_id = dl.doc_id
+       join dft on tf.term = dft.term cross join stats),
+scored as (
+  select qid, doc_id,
+         list_reduce(list(c order by term), (a, b) -> a + b) as score
+  from contrib group by qid, doc_id)
+select qid, doc_id, rank from (
+  select *, row_number() over (partition by qid
+                               order by score desc, doc_id) as rank
+  from scored where score > 0) where rank <= 10
 """
 
 
@@ -847,6 +913,13 @@ from orc cross join nd where n_docs / nd.n < 2.0
             f"select rank, term, df, cf from (select *, row_number() over "
             f"(order by cf desc, term) as rank from ts) where rank <= 25"),
         "bm25_topk": bm25_sql,
+        # pruned/batch executors: rank-identical to the exhaustive f32
+        # scorer by construction (strict-bound pruning + canonical
+        # rescoring), oracled against the f32-faithful SQL (see
+        # _bm25_f32_rank_sql for why not the rounded-double oracle)
+        "bm25_topk_bmw": _bm25_f32_rank_sql(qv),
+        "bm25_topk_maxscore": _bm25_f32_rank_sql(qv),
+        "bm25_topk_batch": _bm25_f32_rank_sql(qv),
         "boolean_and_count": boolean_common + """
 , cand as (select qv.qid, dt.doc_id, count(*) as c
            from qv join dt using(term) group by qv.qid, dt.doc_id)

@@ -124,17 +124,24 @@ def query_bench(spark, idx) -> dict:
     }
 
 
-def entries_bench(spark, sf_dir: str) -> dict:
+def entries_bench(spark, sf_dir: str, repeats: int = 3) -> dict:
+    """Median-of-N per entry: single-window entry times on this host carry
+    +-2x noise (r03 recorded minhash at 38.5 s vs 13.2 s steady-state), so
+    the per-entry signal of record is a median like the build/batch
+    sections."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     entry_mod._get_index(spark, sf_dir).postings.count()  # untimed index build
     out = {}
     for name in BENCH_ENTRIES:
-        t0 = time.time()
+        runs = []
         try:
-            qs[name](spark, sf_dir).count()
-            out[name] = round(time.time() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            out[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as ex:  # keep the bench line intact
             out[name] = f"error: {type(ex).__name__}"
     return out

@@ -205,7 +205,8 @@ def _pef_part_cost(m: int, span: int) -> tuple[int, int]:
 
 
 def pef_encode(values: np.ndarray, universe: int, quantum: int = 8,
-               dir_overhead: int = 4, uniform: int | None = None) -> bytes:
+               dir_overhead: int = 4, uniform: int | None = None,
+               max_part: int = 4096) -> bytes:
     """Partitioned Elias-Fano over a strictly-increasing uint64 array
     (reference sequence/partitioned_sequence.hpp + optimal_partition.hpp:
     choose partition boundaries minimizing total encoded size, where each
@@ -223,7 +224,14 @@ def pef_encode(values: np.ndarray, universe: int, quantum: int = 8,
 
     uniform=K skips the DP and cuts fixed K-element partitions — the
     reference's uniform_partitioned_sequence.hpp variant (cheaper to build,
-    same per-partition representations; decoder is shared)."""
+    same per-partition representations; decoder is shared).
+
+    max_part caps a partition at that many elements, which bounds the DP's
+    inner lookback so a direct call on a long list stays
+    O(n/quantum * max_part/quantum) instead of O((n/quantum)^2) — the role
+    of the reference's eps-approximate window (optimal_partition.hpp). In
+    the build path pef only ever sees block-sized slices (<= block_size
+    elements), where the cap is never binding and the DP is exact."""
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
     header = varint_encode(np.array([n, universe], dtype=np.uint64))
@@ -243,9 +251,10 @@ def pef_encode(values: np.ndarray, universe: int, quantum: int = 8,
         dist = [INF] * m_nodes
         prev_n = [0] * m_nodes
         dist[0] = 0.0
+        max_back = max(1, max_part // max(1, quantum))
         for j in range(1, m_nodes):
             e = nodes[j]
-            for i in range(j - 1, -1, -1):
+            for i in range(j - 1, max(-1, j - 1 - max_back), -1):
                 s = nodes[i]
                 lo = int(v_int[s - 1]) + 1 if s > 0 else 0
                 span = int(v_int[e - 1]) - lo

@@ -276,16 +276,16 @@ def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
 def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.95, exact: bool = True,
+                            threshold: float = 0.95, exact: bool = False,
                             n_planes: int = 6, probes: int = 8,
                             seed: int = 7, dim: int | None = None):
     """Embedding-cosine near-dup pairs.
 
-    exact=True (default): the all-pairs crossJoin — exhaustive recall, for
-    small inputs and as the oracle for the bucketed path. O(N^2): opt INTO
-    exact=False at scale.
+    exact=True: the all-pairs crossJoin — exhaustive recall, for small
+    inputs and as the oracle for the bucketed path. O(N^2): an explicit
+    opt-in, never the default (the default is the bounded LSH scale path).
 
-    exact=False (scale path): signed-random-projection LSH buckets generate
+    exact=False (default, scale path): signed-random-projection LSH buckets generate
     candidates — `probes` independent hash tables of `n_planes` hyperplanes
     each; two vectors are candidates iff they share a bucket in ANY table —
     then the exact cosine reranks candidates, so every emitted pair's cosine

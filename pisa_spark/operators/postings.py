@@ -269,6 +269,18 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
         grp_doc_bytes = cum_chunk[cum_nblk]
 
     # ---- assemble the Arrow batch (zero-copy where the layout allows)
+    # The Arrow binary/list columns carry int32 offsets; a batch whose
+    # encoded stream crossed 2 GiB would silently wrap on the casts below
+    # and corrupt the index. Batches stay far under this by construction
+    # (Arrow batch size + one carried group / the docwise token gate), so
+    # enforce it: fail loudly instead of corrupting.
+    _I32_MAX = np.int64(2**31 - 1)
+    if (int(cum_nblk[-1]) > _I32_MAX or len(doc_bytes) > _I32_MAX
+            or len(tf_bytes) > _I32_MAX):
+        raise OverflowError(
+            "encoded batch exceeds int32 Arrow offsets "
+            f"(blocks={int(cum_nblk[-1])}, doc_bytes={len(doc_bytes)}, "
+            f"tf_bytes={len(tf_bytes)}); lower shard_span / Arrow batch size")
     offs32 = cum_nblk.astype(np.int32)
 
     def _list(vals: np.ndarray, typ) -> pa.ListArray:

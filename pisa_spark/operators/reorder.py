@@ -111,8 +111,9 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
     O(1) deep. With checkpoint_dir set (reliable restart, north-rule
     lineage requirement) every artifact is kept and a killed multi-hour BP
     run resumes at the last finished iteration; without it the state lives
-    in a session temp dir and superseded artifacts are pruned as the loop
-    advances. (localCheckpoint state is NOT used at all: besides dying with
+    in a session temp dir: superseded artifacts are pruned as the loop
+    advances, and the final artifact (still lazily read by the returned
+    mapping) is removed at interpreter exit. (localCheckpoint state is NOT used at all: besides dying with
     a lost executor, its unknown-stats LogicalRDD leaves trip a
     pathological BigInteger blow-up in Catalyst size estimation over the
     iteration's join-heavy plans — measured minutes of pure planning at
@@ -134,12 +135,19 @@ def recursive_graph_bisection(docs_terms, depth: int | None = None,
     # relations carry real file sizes, and the artifacts double as restart
     # points. Without checkpoint_dir the state lives in a session temp dir
     # (same lifecycle as Spark's own spark-* scratch dirs) and is removed
-    # on completion; pass checkpoint_dir to keep it for restart.
+    # at interpreter exit; pass checkpoint_dir to keep it for restart.
     _tmp_dir = None
     if checkpoint_dir is None:
+        import atexit
+        import shutil
         import tempfile
 
         _tmp_dir = tempfile.mkdtemp(prefix="pisa_bp_state_")
+        # the FINAL state artifact stays on disk while the returned mapping
+        # DataFrame lazily reads it, so the dir cannot be removed here;
+        # register interpreter-exit cleanup so no-checkpoint BP calls do
+        # not leak pisa_bp_state_* dirs across sessions
+        atexit.register(shutil.rmtree, _tmp_dir, ignore_errors=True)
         manifest = BuildManifest(_tmp_dir)
     else:
         manifest = BuildManifest(checkpoint_dir)

@@ -606,15 +606,21 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             lexicon_base, _lex_cache, _ = assign_rank_ids(
                 terms_distinct, "term", "term_id", term_cuts, parts)
             lexicon_base = lexicon_base.select("term", "term_id")
-            postings = (enc_str.join(lexicon_base, "term").drop("term"))
+            # non-broadcast vocabulary: the id join is a sort-merge SHUFFLE
+            # of the whole index — unlike the broadcast case below, every
+            # downstream action would re-pay it, so persist the join result
+            # (the one extra cache copy is cheaper than re-shuffling the
+            # index per query batch)
+            postings = (enc_str.join(lexicon_base, "term").drop("term")
+                        .persist(StorageLevel.MEMORY_AND_DISK_DESER))
         from pisa_spark.operators.postings import _ENCODED_COLUMNS
 
-        # postings stays a LAZY broadcast-join view over the cached encoded
-        # rows: materializing it into a second cache would re-copy the
-        # whole index through memory (measured 3-15 s per build, pure
-        # bandwidth) for a join that costs microseconds per probe at query
-        # time. enc_str (already materialized by the vocab probe) is the
-        # single backing cache.
+        # broadcast-vocabulary case: postings stays a LAZY broadcast-join
+        # view over the cached encoded rows — materializing it into a
+        # second cache would re-copy the whole index through memory
+        # (measured 3-15 s per build, pure bandwidth) for a join that costs
+        # microseconds per probe at query time. enc_str (already
+        # materialized by the vocab probe) is the single backing cache.
         postings = postings.select(*_ENCODED_COLUMNS)
         _phase("lexicon_base")
     elif vocab_map is not None and plain_scoring:
