@@ -523,7 +523,8 @@ def encode_postings_docwise(doc_terms, vocab: dict, cfg: IndexConfig,
 
 
 def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
-                                num_partitions: int | None = None):
+                                num_partitions: int | None = None,
+                                shard_stride: int = 1):
     """Doc-wise encode WITHOUT a vocabulary: emits string-keyed encoded
     rows (ENCODED_STR_SCHEMA). Terms are dictionary-encoded batch-locally
     (Arrow C kernel), groups keyed on the local codes, and the term string
@@ -535,7 +536,13 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
     Works for ANY vocabulary size; the binding constraint is the per-task
     working set of one doc-shard's exploded tokens (cfg.shard_span x
     avg_len) — plans/build.py gates on that and falls back to
-    encode_postings_str above the bound."""
+    encode_postings_str above the bound.
+
+    shard_stride: when the caller pre-filtered the input to every
+    shard_stride-th shard (the manifest build's bucket resume), shard ids
+    share a common stride and the round-robin placement key must be the
+    shard's RANK within the bucket (shard_id // stride) — keying on the
+    raw id would land all work on parts/gcd(stride, parts) partitions."""
     from pyspark.sql import functions as F
 
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
@@ -549,11 +556,13 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
                                                    round_robin_expr)
 
     vals = partition_values(spark, parts)
+    place_key = (F.col("shard_id") / F.lit(shard_stride)).cast("long") \
+        if shard_stride > 1 else F.col("shard_id")
     arranged = (
         doc_terms.select(
             (F.col("doc_id") / F.lit(span)).cast("long").alias("shard_id"),
             "doc_id", "doc_len", "terms", "tfs")
-        .repartition(parts, round_robin_expr(F.col("shard_id"), parts, vals))
+        .repartition(parts, round_robin_expr(place_key, parts, vals))
         .sortWithinPartitions("shard_id", "doc_id")
     )
 

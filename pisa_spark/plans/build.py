@@ -353,11 +353,35 @@ def _f32(x: float) -> float:
     return float(np.float32(x))
 
 
+def join_term_ids(enc_str_df, lexicon_df, broadcast_max: int):
+    """Attach dense term_ids to string-keyed encoded posting rows (the
+    lexicon-last join-back, shared by the resumable build and load_index).
+
+    Broadcasts the lexicon when it fits the broadcast bound — a hash probe
+    per encoded row on the scan, the index itself never shuffles; above
+    the bound it is a sort-merge join. The caller's parquet artifacts are
+    the backing store, so the view stays lazy either way."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.postings import _ENCODED_COLUMNS
+
+    lex = lexicon_df.select("term", "term_id")
+    n = _footer_count(lex)
+    if n is None:
+        n = lex.count()
+    if n <= broadcast_max:
+        joined = enc_str_df.join(F.broadcast(lex), "term")
+    else:
+        joined = enc_str_df.join(lex, "term")
+    return joined.drop("term").select(*_ENCODED_COLUMNS)
+
+
 def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                 out_dir: str | None = None, n_buckets: int = 8,
                 url_col: str = "url", text_col: str = "text",
                 html_col: str | None = None,
-                eager: bool = False) -> InvertedIndex:
+                eager: bool = False,
+                bucket_min_tokens: int = 1 << 25) -> InvertedIndex:
     """Build the full index from a (url, text) or (url, html) DataFrame.
 
     With html_col set, extraction is fused into the tokenize pass (one
@@ -391,10 +415,22 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     # URL-ordered docIDs. URL cut points are sampled from the RAW input
     # (column-pruned scan — the html payload is neither sampled nor
     # shuffled; only the ~10x slimmer token arrays move).
-    if manifest and manifest.done("docs") and manifest.done("doc_terms"):
-        docs = manifest.read_df(spark, "docs")
+    # doc_terms is the ROOT artifact: everything docID-dependent derives
+    # from it, and downstream marks gate on its durability (see below).
+    # docs is a projection — rebuilt from the artifact if missing, never by
+    # re-running the tokenize stage (a re-run could assign different ids
+    # and silently orphan already-marked postings buckets).
+    _mark_gate = None
+    _join_writes = None
+    if manifest and manifest.done("doc_terms"):
         doc_terms = manifest.read_df(spark, "doc_terms")
         stats = manifest.state["stats"]
+        if manifest.done("docs"):
+            docs = manifest.read_df(spark, "docs")
+        else:
+            manifest.write_df("docs", doc_terms.select(
+                "doc_id", "url", "doc_len", "shard_id"))
+            docs = manifest.read_df(spark, "docs")
     else:
         # 4x more buckets than partitions: round-robin placement gives each
         # partition ~4 equal buckets, averaging out cut-sampling error
@@ -419,15 +455,50 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         doc_terms = doc_terms.withColumn(
             "shard_id",
             (F.col("doc_id") / F.lit(cfg.shard_span)).cast("long"))
-        if manifest:
-            manifest.set_stats(stats)
-            manifest.write_df("doc_terms", doc_terms)
-            doc_terms = manifest.read_df(spark, "doc_terms")
-            _tok_cache.unpersist()
         docs = doc_terms.select("doc_id", "url", "doc_len", "shard_id")
         if manifest:
-            manifest.write_df("docs", docs)
-            docs = manifest.read_df(spark, "docs")
+            import threading
+
+            manifest.set_stats(stats)
+
+            # Durability writes run CONCURRENTLY with the encode stage's
+            # bucket jobs (they scan the same tokenize cache): serializing
+            # them added their full wall time to every checkpointed build.
+            # Consistency rule: nothing downstream is MARKED complete until
+            # the doc_terms artifact (the stable source a resume re-reads)
+            # is durable — bucket workers join this thread before marking.
+            _write_errs: list = []
+
+            def _writer(name, df, partition_by=None):
+                def run():
+                    try:
+                        manifest.write_df(name, df, partition_by=partition_by)
+                    except BaseException as ex:  # re-raised at join
+                        _write_errs.append(ex)
+                t = threading.Thread(target=run)
+                t.start()
+                return t
+
+            # the artifact is partitioned by the postings bucket key (shard
+            # mod n_buckets) so a RESUMED build's bucket jobs partition-
+            # prune their scans to 1/n_buckets of the corpus
+            _doc_terms_thread = _writer(
+                "doc_terms",
+                doc_terms.withColumn(
+                    "_bucket", F.pmod("shard_id", F.lit(n_buckets))),
+                partition_by=["_bucket"])
+            _docs_thread = _writer("docs", docs)
+
+            def _mark_gate():
+                _doc_terms_thread.join()
+                if _write_errs:
+                    raise _write_errs[0]
+
+            def _join_writes():
+                _doc_terms_thread.join()
+                _docs_thread.join()
+                if _write_errs:
+                    raise _write_errs[0]
 
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
     plain_scoring = (cfg.quantize_bits is None
@@ -440,9 +511,11 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     # broadcast, and the flat-postings/lexicon join — the three pieces that
     # do not shrink with executors. Quantized and non-separable-scorer
     # builds need per-term stats BEFORE encoding, so they keep the
-    # lexicon-first flow, as does the manifest path (bucket resume is keyed
-    # on stable term_ids).
-    lexicon_last = plain_scoring and manifest is None
+    # lexicon-first flow. Manifest (resumable) builds run lexicon-last too:
+    # their postings buckets are keyed on DOC SHARDS (shard_id mod
+    # n_buckets — stable across resumes because doc_ids come from the
+    # checkpointed docs artifact), not on term_ids.
+    lexicon_last = plain_scoring
     vocab_map = None
     true_term_stats = None
     if not lexicon_last:
@@ -544,25 +617,162 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
 
                 shards_thread = threading.Thread(target=_materialize_shards)
                 shards_thread.start()
+        else:
+            # manifest: write the shards artifact CONCURRENTLY with the
+            # encode stage (independent DAG branch, same overlap as the
+            # eager in-memory path); the mark gates on the root doc_terms
+            # artifact like every docID-dependent artifact
+            import threading
 
-    # ---- stage: encoded postings (bucketed for per-partition resume)
-    if manifest:
+            shards_err = []
+
+            def _write_shards():
+                try:
+                    manifest.write_df("shards", shards_raw,
+                                      pre_mark=_mark_gate)
+                except BaseException as ex:  # re-raised at join()
+                    shards_err.append(ex)
+
+            shards_thread = threading.Thread(target=_write_shards)
+            shards_thread.start()
+
+    # ---- stage: encoded postings (bucketed for per-partition resume).
+    # Unfinished buckets run as CONCURRENT Spark jobs from driver threads:
+    # each bucket's real work is a fraction of a second of cluster time, so
+    # serial execution is dominated by per-job scheduling overhead —
+    # concurrent jobs share the task slots and overlap that overhead
+    # (the manifest serializes its own updates; a crash still resumes at
+    # the per-bucket granularity).
+    def _run_buckets(build_one) -> None:
+        import concurrent.futures as futures
+
+        todo = [b for b in range(n_buckets)
+                if not manifest.done(f"postings/bucket={b}")]
+        if not todo:
+            return
+        with futures.ThreadPoolExecutor(max_workers=len(todo)) as pool:
+            for _ in pool.map(build_one, todo):  # re-raises worker errors
+                pass
+
+    if manifest and not lexicon_last:
+        if _join_writes is not None:
+            _join_writes()  # lexicon-first flow: serialize after the root writes
         tf_bucketed = tf_full.withColumn(
             "_bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)))
-        for b in range(n_buckets):
-            name = f"postings/bucket={b}"
-            if manifest.done(name):
-                continue
+
+        def _build_bucket_tid(b: int) -> None:
             enc = encode_postings(
                 tf_bucketed.filter(F.col("_bucket") == b).drop("_bucket"),
                 cfg, stats)
-            manifest.write_df(name, enc)
+            manifest.write_df(f"postings/bucket={b}", enc)
+
+        _run_buckets(_build_bucket_tid)
         bucket_paths = [manifest.artifact_path(f"postings/bucket={b}")
                         for b in range(n_buckets)]
         for p in bucket_paths:
             spark.catalog.refreshByPath(p)
         postings = spark.read.parquet(*bucket_paths)
         _phase("encode_postings")
+    elif manifest and lexicon_last:
+        # lexicon-last RESUMABLE flow: string-keyed encode in n_buckets
+        # independent jobs keyed on doc shards (bucket b = shards with
+        # shard_id % n_buckets == b) — each bucket writes its own artifact
+        # and a killed build resumes at the first unfinished bucket. Doc
+        # shards are the stable resume key the term_id bucketing could not
+        # provide here (term_ids do not exist until the lexicon is derived
+        # from these very rows).
+        from pisa_spark.operators.postings import (encode_postings_docwise_str,
+                                                   encode_postings_str)
+
+        docwise = (cfg.shard_span * max(stats["avg_len"], 1.0)
+                   <= cfg.docwise_max_tokens)
+        shard_of = (F.col("doc_id") / F.lit(cfg.shard_span)).cast("long")
+
+        def _encode_str(src_docs, stride: int = 1):
+            if docwise:
+                return encode_postings_docwise_str(
+                    src_docs, cfg, stats, shard_stride=stride)
+            flat = src_docs.select(
+                "doc_id", "doc_len",
+                F.explode(F.arrays_zip("terms", "tfs")).alias("z")
+            ).select("doc_id", "doc_len",
+                     F.col("z.terms").alias("term"),
+                     F.col("z.tfs").cast("long").alias("tf"))
+            return encode_postings_str(flat, cfg, stats)
+
+        # Resume granularity adapts to the work size (a pure function of
+        # the manifest-recorded corpus stats, so resumes always agree with
+        # the original run's choice): below bucket_min_tokens per bucket,
+        # per-bucket jobs cost more in scheduling + extra scans than a
+        # resume could ever save — the encode runs as ONE job (a killed
+        # small build re-encodes in seconds) overlapped with the root
+        # artifact writes. Above the bound, n_buckets independent jobs each
+        # partition-prune the doc_terms artifact to their own bucket (the
+        # corpus is still read only once across all jobs) and a killed
+        # build resumes at the first unfinished bucket.
+        single_job = (stats["collection_len"] / max(1, n_buckets)
+                      < bucket_min_tokens)
+        if single_job:
+            if not manifest.done("postings"):
+                manifest.write_df("postings", _encode_str(doc_terms),
+                                  pre_mark=_mark_gate)
+            if _join_writes is not None:
+                _join_writes()
+            enc_str = manifest.read_df(spark, "postings")
+        else:
+            if _mark_gate is not None:
+                # wait for the root doc_terms artifact, then source every
+                # bucket job from its partition-pruned scan
+                _mark_gate()
+                doc_terms = manifest.read_df(spark, "doc_terms")
+
+            def _build_bucket_str(b: int) -> None:
+                if "_bucket" in doc_terms.columns:
+                    part_docs = doc_terms.filter(F.col("_bucket") == b)
+                else:
+                    part_docs = doc_terms.filter(
+                        F.pmod(shard_of, F.lit(n_buckets)) == b)
+                manifest.write_df(f"postings/bucket={b}",
+                                  _encode_str(part_docs, stride=n_buckets),
+                                  pre_mark=_mark_gate)
+
+            _run_buckets(_build_bucket_str)
+            if _join_writes is not None:
+                _join_writes()
+            bucket_paths = [manifest.artifact_path(f"postings/bucket={b}")
+                            for b in range(n_buckets)]
+            for p in bucket_paths:
+                spark.catalog.refreshByPath(p)
+            enc_str = spark.read.parquet(*bucket_paths)
+        _phase("encode_postings")
+        # ---- stage: lexicon from the ENCODED rows, then term_ids joined
+        # back onto the parquet-backed string-keyed rows (same split as the
+        # in-memory flow below; the postings artifact keeps TERM STRINGS so
+        # a bucket never has to be rewritten when the vocabulary changes
+        # resume-to-resume — load_index re-joins ids the same way)
+        if manifest.done("lexicon_base"):
+            lexicon_base = manifest.read_df(spark, "lexicon_base")
+        else:
+            terms_distinct = enc_str.select("term").distinct()
+            probe = terms_distinct.limit(
+                cfg.lexicon_broadcast_max + 1).collect()
+            if len(probe) <= cfg.lexicon_broadcast_max:
+                vocab = sorted(r[0] for r in probe)
+                lex_with_ids = spark.createDataFrame(
+                    list(zip(vocab, range(len(vocab)))),
+                    "term string, term_id long")
+            else:
+                terms_distinct = terms_distinct.persist(
+                    StorageLevel.MEMORY_AND_DISK_DESER)
+                term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
+                lex_with_ids, _lex_cache, _ = assign_rank_ids(
+                    terms_distinct, "term", "term_id", term_cuts, parts)
+                lex_with_ids = lex_with_ids.select("term", "term_id")
+            manifest.write_df("lexicon_base", lex_with_ids)
+            lexicon_base = manifest.read_df(spark, "lexicon_base")
+        postings = join_term_ids(enc_str, lexicon_base,
+                                 cfg.lexicon_broadcast_max)
+        _phase("lexicon_base")
     elif lexicon_last:
         from pisa_spark.operators.postings import (encode_postings_docwise_str,
                                                    encode_postings_str)
@@ -639,8 +849,10 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
 
     # ---- stage: per-shard doc length arrays — defined above; join the
     # concurrent materialization (or write through the manifest)
-    if shards is None:  # manifest build path
-        manifest.write_df("shards", shards_raw)
+    if shards is None:  # manifest build path: join the concurrent write
+        shards_thread.join()
+        if shards_err:
+            raise shards_err[0]
         shards = manifest.read_df(spark, "shards")
     elif shards_thread is not None:
         shards_thread.join()
@@ -712,9 +924,15 @@ def load_index(spark, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG) -> Invert
     postings = spark.read.parquet(manifest.artifact_path("postings"))
     if "bucket" in postings.columns:
         postings = postings.drop("bucket")
+    lexicon = manifest.read_df(spark, "lexicon")
+    if "term" in postings.columns:
+        # lexicon-last artifacts keep term STRINGS: re-attach dense ids
+        # from the lexicon the same way the build did
+        postings = join_term_ids(postings, lexicon,
+                                 cfg.lexicon_broadcast_max)
     return InvertedIndex(
         docs=manifest.read_df(spark, "docs"),
-        lexicon=manifest.read_df(spark, "lexicon"),
+        lexicon=lexicon,
         postings=postings,
         shards=manifest.read_df(spark, "shards"),
         stats=manifest.state["stats"],

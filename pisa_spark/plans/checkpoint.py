@@ -16,6 +16,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 
 
@@ -29,8 +30,11 @@ class BuildManifest:
                 self.state = json.load(f)
         else:
             self.state = {"completed": {}, "stats": {}, "metrics": {}}
+        # bucket jobs run concurrently from driver threads; manifest
+        # updates must serialize so a mark never flushes a half-updated map
+        self._lock = threading.Lock()
 
-    def _flush(self) -> None:
+    def _flush_locked(self) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.out_dir, suffix=".manifest")
         with os.fdopen(fd, "w") as f:
             json.dump(self.state, f, indent=1)
@@ -40,24 +44,32 @@ class BuildManifest:
         return name in self.state["completed"]
 
     def mark(self, name: str, **meta) -> None:
-        self.state["completed"][name] = {"ts": time.time(), **meta}
-        self._flush()
+        with self._lock:
+            self.state["completed"][name] = {"ts": time.time(), **meta}
+            self._flush_locked()
 
     def record_metric(self, name: str, value) -> None:
-        self.state["metrics"][name] = value
-        self._flush()
+        with self._lock:
+            self.state["metrics"][name] = value
+            self._flush_locked()
 
     def set_stats(self, stats: dict) -> None:
-        self.state["stats"] = stats
-        self._flush()
+        with self._lock:
+            self.state["stats"] = stats
+            self._flush_locked()
 
     def artifact_path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
 
     def write_df(self, name: str, df, partition_by: list[str] | None = None,
-                 mode: str = "overwrite") -> None:
+                 mode: str = "overwrite", pre_mark=None) -> None:
         """Write a DataFrame artifact and mark it complete (atomic: the
-        manifest entry lands only after the parquet _SUCCESS)."""
+        manifest entry lands only after the parquet _SUCCESS).
+
+        pre_mark: optional callable invoked between the parquet write and
+        the mark — the build uses it to gate derived-artifact marks on the
+        root artifact's concurrent write finishing (a mark must never
+        outlive the lineage it depends on)."""
         path = self.artifact_path(name)
         if os.path.exists(path) and not self.done(name):
             shutil.rmtree(path)  # partial output from a killed run
@@ -66,6 +78,8 @@ class BuildManifest:
             w = w.partitionBy(*partition_by)
         t0 = time.time()
         w.parquet(path)
+        if pre_mark is not None:
+            pre_mark()
         self.mark(name, seconds=round(time.time() - t0, 3))
 
     def read_df(self, spark, name: str):

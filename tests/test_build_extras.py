@@ -83,9 +83,12 @@ def test_checkpoint_resume_skips_completed(spark):
     cfg = IndexConfig(shard_span=64)
     pdf = webtext.generate_pandas(120, seed=13)
     docs = extract_pages(spark.createDataFrame(pdf), cfg)
-    build_index(docs, cfg, out_dir=out, n_buckets=4)
+    # bucket_min_tokens=0 forces the per-bucket resume mode this test
+    # exercises (at this corpus size the adaptive default would collapse
+    # the encode to a single job — covered by the test below)
+    build_index(docs, cfg, out_dir=out, n_buckets=4, bucket_min_tokens=0)
     m1 = json.load(open(f"{out}/manifest.json"))
-    build_index(docs, cfg, out_dir=out, n_buckets=4)
+    build_index(docs, cfg, out_dir=out, n_buckets=4, bucket_min_tokens=0)
     m2 = json.load(open(f"{out}/manifest.json"))
     assert all(m2["completed"][k]["ts"] == m1["completed"][k]["ts"]
                for k in m1["completed"])
@@ -93,11 +96,45 @@ def test_checkpoint_resume_skips_completed(spark):
     del m2["completed"]["postings/bucket=2"]
     shutil.rmtree(f"{out}/postings/bucket=2")
     json.dump(m2, open(f"{out}/manifest.json", "w"))
-    idx = build_index(docs, cfg, out_dir=out, n_buckets=4)
+    idx = build_index(docs, cfg, out_dir=out, n_buckets=4,
+                      bucket_min_tokens=0)
     m3 = json.load(open(f"{out}/manifest.json"))
     assert m3["completed"]["postings/bucket=0"]["ts"] == m1["completed"]["postings/bucket=0"]["ts"]
     assert m3["completed"]["postings/bucket=2"]["ts"] != m1["completed"]["postings/bucket=2"]["ts"]
     assert idx.postings.count() > 0
+
+
+def test_checkpoint_single_job_mode_matches_inmem(spark):
+    """Adaptive resume granularity: below bucket_min_tokens the postings
+    stage is ONE job recorded as a single 'postings' artifact; a rerun
+    skips everything, load_index round-trips, and the ranking matches the
+    in-memory build exactly."""
+    from pisa_spark.plans.build import load_index
+
+    out = f"{CACHE}/resume_single"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = IndexConfig(shard_span=64)
+    pdf = webtext.generate_pandas(120, seed=13)
+    docs = extract_pages(spark.createDataFrame(pdf), cfg)
+    idx = build_index(docs, cfg, out_dir=out, n_buckets=4)
+    m1 = json.load(open(f"{out}/manifest.json"))
+    assert "postings" in m1["completed"]
+    assert not any(k.startswith("postings/") for k in m1["completed"])
+    build_index(docs, cfg, out_dir=out, n_buckets=4)
+    m2 = json.load(open(f"{out}/manifest.json"))
+    assert all(m2["completed"][k]["ts"] == m1["completed"][k]["ts"]
+               for k in m1["completed"])
+    mem = build_index(docs, cfg)
+    qs = webtext.synth_queries(8, seed=29)
+    want = {(r.qid, r.rank, r.url)
+            for r in topk_search(mem, qs, k=5).collect()}
+    got = {(r.qid, r.rank, r.url)
+           for r in topk_search(idx, qs, k=5).collect()}
+    assert got == want
+    loaded = load_index(spark, out, cfg)
+    got_l = {(r.qid, r.rank, r.url)
+             for r in topk_search(loaded, qs, k=5).collect()}
+    assert got_l == want
 
 
 def test_group_carry_never_splits_groups():
