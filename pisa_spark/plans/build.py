@@ -62,6 +62,18 @@ class InvertedIndex:
     shards: object
     stats: dict
     cfg: IndexConfig
+    # True when every doc-shard's posting rows are guaranteed to live in a
+    # single DataFrame partition (the docwise encode's shard-keyed
+    # repartition survives the lazy broadcast-join view) — the low-latency
+    # serve path (operators/topk.py) can then kernel straight over the
+    # cached partitions without a co-locating shuffle.
+    postings_colocated: bool = False
+    # lexicon-last indexes: the underlying string-keyed encoded rows. The
+    # serve path filters these by term STRING directly — the id-keyed
+    # `postings` view is a lazy broadcast join whose lexicon broadcast
+    # would otherwise be rebuilt on every single-query job (~350 ms/query
+    # measured at 60k docs).
+    postings_str: object = None
 
 
 def dense_ids(df, order_col: str, id_col: str, num_partitions: int | None = None):
@@ -501,6 +513,8 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                     raise _write_errs[0]
 
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
+    colocated = False  # set True by the shard-keyed docwise encode paths
+    enc_str_handle = None  # lexicon-last string-keyed rows (serve path)
     plain_scoring = (cfg.quantize_bits is None
                      and (scorer.separable
                           or getattr(scorer, "stats_free", False)))
@@ -744,6 +758,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             for p in bucket_paths:
                 spark.catalog.refreshByPath(p)
             enc_str = spark.read.parquet(*bucket_paths)
+        enc_str_handle = enc_str
         _phase("encode_postings")
         # ---- stage: lexicon from the ENCODED rows, then term_ids joined
         # back onto the parquet-backed string-keyed rows (same split as the
@@ -781,6 +796,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             # doc-wise: shuffles the compact per-doc token rows by shard
             # (~avg_len x less data than the exploded rows)
             enc_str = encode_postings_docwise_str(doc_terms, cfg, stats)
+            colocated = True
         else:
             # shard token mass exceeds the docwise working-set bound:
             # exploded (shard, term)-shuffled encode, groups bounded by
@@ -793,6 +809,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                      F.col("z.tfs").cast("long").alias("tf"))
             enc_str = encode_postings_str(flat, cfg, stats)
         enc_str = enc_str.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        enc_str_handle = enc_str
         # ---- stage: lexicon from the ENCODED rows (sorted distinct terms
         # -> dense term_ids, fwd.terms semantics) + term_id join-back.
         # The vocabulary probe IS the materializing action for the encode
@@ -838,6 +855,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         # (term, doc, tf) shuffle entirely (operators/postings.py)
         postings = encode_postings_docwise(
             doc_terms, vocab_map, cfg, stats).persist()
+        colocated = True
         if eager:
             postings.count()
         _phase("encode_postings")
@@ -915,7 +933,9 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         manifest.record_metric("num_docs", stats["num_docs"])
 
     return InvertedIndex(docs=docs, lexicon=lexicon, postings=postings,
-                         shards=shards, stats=stats, cfg=cfg)
+                         shards=shards, stats=stats, cfg=cfg,
+                         postings_colocated=colocated,
+                         postings_str=enc_str_handle)
 
 
 def load_index(spark, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG) -> InvertedIndex:
@@ -925,9 +945,11 @@ def load_index(spark, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG) -> Invert
     if "bucket" in postings.columns:
         postings = postings.drop("bucket")
     lexicon = manifest.read_df(spark, "lexicon")
+    enc_str_handle = None
     if "term" in postings.columns:
         # lexicon-last artifacts keep term STRINGS: re-attach dense ids
         # from the lexicon the same way the build did
+        enc_str_handle = postings
         postings = join_term_ids(postings, lexicon,
                                  cfg.lexicon_broadcast_max)
     return InvertedIndex(
@@ -937,4 +959,5 @@ def load_index(spark, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG) -> Invert
         shards=manifest.read_df(spark, "shards"),
         stats=manifest.state["stats"],
         cfg=cfg,
+        postings_str=enc_str_handle,
     )
