@@ -184,6 +184,155 @@ def bp_decode(buf: bytes) -> np.ndarray:
             << np.arange(width, dtype=np.uint64)).sum(axis=1)
 
 
+# ------------------------------------------- batch (all-blocks-at-once) API
+
+def _bit_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-element bit_length (exact, no float log) for small arrays."""
+    out = np.frompyfunc(int.bit_length, 1, 1)(values.astype(object))
+    return out.astype(np.int64)
+
+
+def _scatter_varints(out: np.ndarray, at: np.ndarray, values: np.ndarray
+                     ) -> np.ndarray:
+    """Write varint(values[i]) into out at byte offsets at[i] (vectorized
+    over i); returns the per-value byte lengths."""
+    vbytes, vlens = varint_encode_with_lengths(values.astype(np.uint64))
+    vb = np.frombuffer(vbytes, dtype=np.uint8)
+    voff = np.concatenate(([0], np.cumsum(vlens)[:-1]))
+    for j in range(int(vlens.max()) if vlens.size else 0):
+        m = vlens > j
+        out[at[m] + j] = vb[voff[m] + j]
+    return vlens
+
+
+def _scatter_copy(out: np.ndarray, dst_start: np.ndarray,
+                  src: np.ndarray, src_start: np.ndarray,
+                  lengths: np.ndarray) -> None:
+    """out[dst_start[i] : +lengths[i]] = src[src_start[i] : +lengths[i]]
+    for all i in one gather/scatter pass."""
+    total = int(lengths.sum())
+    if total == 0:
+        return
+    rep = np.repeat(np.arange(lengths.size), lengths)
+    within = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths)
+    out[dst_start[rep] + within] = src[src_start[rep] + within]
+
+
+def _pack_blocked_bits(bit_start: np.ndarray, widths_of_val: np.ndarray,
+                       values: np.ndarray, total_bytes: int) -> np.ndarray:
+    """Write each value's `width` low bits (LSB-first) starting at its
+    absolute bit offset into a byte-aligned bit buffer; one vector pass per
+    bit position (<= 64), then a single packbits."""
+    bits = np.zeros(total_bytes * 8, dtype=np.uint8)
+    maxw = int(widths_of_val.max()) if widths_of_val.size else 0
+    for j in range(maxw):
+        m = widths_of_val > j
+        bits[bit_start[m] + j] = (
+            (values[m] >> np.uint64(j)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits, bitorder="little")
+
+
+def bp_encode_blocks(gaps: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Batch bp_encode: encode every [starts[i], ends[i]) slice of `gaps`
+    in ONE vectorized pass. Byte-identical to concatenating
+    bp_encode(gaps[s:e]) per block; returns (stream, per-block lengths).
+
+    This removes the per-block Python loop from the index encode kernel —
+    widths, headers, bit positions and the final packbits are all computed
+    batch-wide (the SIMD-BP128 spirit applied across blocks, not just
+    within one)."""
+    v = np.asarray(gaps, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n_b = np.asarray(ends, dtype=np.int64) - starts
+    nb = starts.size
+    if nb == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    widths = np.maximum(_bit_lengths(np.maximum.reduceat(v, starts)), 1)
+    _, hdr_lens = varint_encode_with_lengths(n_b.astype(np.uint64))
+    pay_bytes = (n_b * widths + 7) // 8
+    blk_bytes = hdr_lens + 1 + pay_bytes
+    blk_off = np.concatenate(([0], np.cumsum(blk_bytes)[:-1]))
+    out = np.zeros(int(blk_bytes.sum()), dtype=np.uint8)
+    # headers: varint(n) + width byte
+    _scatter_varints(out, blk_off, n_b)
+    out[blk_off + hdr_lens] = widths.astype(np.uint8)
+    # payloads: per-value bit regions, byte-aligned per block
+    pay_off = np.concatenate(([0], np.cumsum(pay_bytes)[:-1]))
+    grp = np.repeat(np.arange(nb), n_b)
+    pos_in_blk = np.arange(v.size) - starts[grp]
+    bit_start = pay_off[grp] * 8 + pos_in_blk * widths[grp]
+    payload = _pack_blocked_bits(bit_start, widths[grp], v,
+                                 int(pay_bytes.sum()))
+    _scatter_copy(out, blk_off + hdr_lens + 1, payload, pay_off, pay_bytes)
+    return out.tobytes(), blk_bytes
+
+
+def ef_encode_blocks(docs: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray, block_prev: np.ndarray
+                     ) -> tuple[bytes, np.ndarray]:
+    """Batch Elias-Fano: encode every docID block (relative to its
+    exclusive predecessor block_prev[i]) in ONE vectorized pass.
+    Byte-identical to concatenating
+    ef_encode(docs[s:e] - prev - 1, universe=last-prev-1) per block;
+    returns (stream, per-block byte lengths)."""
+    d = np.asarray(docs, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_b = ends - starts
+    nb = starts.size
+    if nb == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    grp = np.repeat(np.arange(nb), n_b)
+    rel = (d - block_prev[grp] - 1).astype(np.uint64)
+    uni = (d[ends - 1] - block_prev - 1).astype(np.int64)  # rel of last
+    u_eff = np.maximum(uni, 1)
+    # l = floor(log2(u/n)) when u >= n else 0 — the SAME float64 formula as
+    # ef_encode (not an integer reformulation), so the streams stay
+    # byte-identical even where float rounding differs from exact math
+    l = np.zeros(nb, dtype=np.int64)
+    ge = u_eff >= n_b
+    l[ge] = np.maximum(np.floor(np.log2(u_eff[ge] / n_b[ge])), 0
+                       ).astype(np.int64)
+    low_bytes = (n_b * l + 7) // 8
+    hi_pos_last = (uni >> l) + (n_b - 1)  # last set high bit
+    hi_bytes = (hi_pos_last + 1 + 7) // 8
+    # header pieces: varint(n) varint(universe) byte(l) varint(low_size)
+    # varint(high_size)
+    _, n_lens = varint_encode_with_lengths(n_b.astype(np.uint64))
+    _, u_lens = varint_encode_with_lengths(uni.astype(np.uint64))
+    _, lo_lens = varint_encode_with_lengths(low_bytes.astype(np.uint64))
+    _, hi_lens = varint_encode_with_lengths(hi_bytes.astype(np.uint64))
+    blk_bytes = n_lens + u_lens + 1 + lo_lens + hi_lens + low_bytes + hi_bytes
+    blk_off = np.concatenate(([0], np.cumsum(blk_bytes)[:-1]))
+    out = np.zeros(int(blk_bytes.sum()), dtype=np.uint8)
+    at = blk_off.copy()
+    at += _scatter_varints(out, at, n_b)
+    at += _scatter_varints(out, at, uni)
+    out[at] = l.astype(np.uint8)
+    at += 1
+    at += _scatter_varints(out, at, low_bytes)
+    at += _scatter_varints(out, at, hi_bytes)
+    # low halves: l[b] bits per value, byte-aligned per block
+    lo_off = np.concatenate(([0], np.cumsum(low_bytes)[:-1]))
+    pos_in_blk = np.arange(d.size) - starts[grp]
+    lo_bit_start = lo_off[grp] * 8 + pos_in_blk * l[grp]
+    low_stream = _pack_blocked_bits(lo_bit_start, l[grp], rel,
+                                    int(low_bytes.sum()))
+    _scatter_copy(out, at, low_stream, lo_off, low_bytes)
+    at += low_bytes
+    # high halves: unary-gapped set bits at (rel >> l) + i
+    hi_off = np.concatenate(([0], np.cumsum(hi_bytes)[:-1]))
+    hi_total = int(hi_bytes.sum())
+    hbits = np.zeros(hi_total * 8, dtype=np.uint8)
+    hpos = (rel >> l[grp].astype(np.uint64)).astype(np.int64) + pos_in_blk
+    hbits[hi_off[grp] * 8 + hpos] = 1
+    hi_stream = np.packbits(hbits, bitorder="little")
+    _scatter_copy(out, at, hi_stream, hi_off, hi_bytes)
+    return out.tobytes(), blk_bytes
+
+
 # -------------------------------------------------- partitioned Elias-Fano
 
 # Per-partition representation tags (reference partitioned_sequence.hpp

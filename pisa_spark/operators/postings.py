@@ -251,8 +251,27 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
         d_offs_vals = (doc_byte_off[abs_start]
                        - doc_byte_off[grp_start_of_blk]).astype(np.int32)
         grp_doc_bytes = doc_byte_off[np.append(starts, n_rows)]
+    elif cfg.codec in ("ef", "bp128"):
+        # batch per-block encode: widths, headers, bit positions and the
+        # final packbits all computed across EVERY block at once
+        # (codecs.ef_encode_blocks / bp_encode_blocks — byte-identical to
+        # the per-block encoders, no per-block Python)
+        if cfg.codec == "ef":
+            block_prev = np.where(abs_start > grp_start_of_blk,
+                                  docs[abs_start - 1],
+                                  base[grp_start_of_blk])
+            doc_bytes, chunk_lens = codecs.ef_encode_blocks(
+                docs, abs_start, abs_end, block_prev)
+        else:
+            doc_bytes, chunk_lens = codecs.bp_encode_blocks(
+                gaps, abs_start, abs_end)
+        cum_chunk = np.concatenate(([0], np.cumsum(chunk_lens)))
+        d_offs_vals = (cum_chunk[:-1]
+                       - cum_chunk[cum_nblk[grp_of_blk]]).astype(np.int32)
+        grp_doc_bytes = cum_chunk[cum_nblk]
     else:
-        # per-block encode over block-relative monotone values
+        # per-block encode over block-relative monotone values (dispatch /
+        # DP codecs: opt, pef, pefu, bic — inherently per-list)
         chunks: list[bytes] = []
         chunk_lens = np.empty(total, dtype=np.int64)
         for b in range(total):

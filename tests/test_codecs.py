@@ -193,3 +193,45 @@ def test_gamma_roundtrip(values):
     # gamma of 1 is a single bit — small ints stay tiny (header use case)
     if values and max(values) == 1:
         assert len(gamma_encode(v)) <= 2 + len(values) // 8 + 1
+
+
+def test_batch_block_encoders_byte_identical():
+    """ef_encode_blocks / bp_encode_blocks (the vectorized all-blocks-at-
+    once kernels used by _encode_arrays) must be BYTE-identical to
+    concatenating the per-block encoders they replace."""
+    from pisa_spark.operators.codecs import (bp_encode, bp_encode_blocks,
+                                             ef_encode_blocks,
+                                             encode_gap_stream)
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n_blocks = int(rng.integers(1, 16))
+        starts, ends, prevs, vals = [], [], [], []
+        pos, prev = 0, int(rng.integers(0, 1000))
+        for _ in range(n_blocks):
+            m = int(rng.integers(1, 180))
+            gmax = int(rng.choice([1, 2, 5, 100, 100000]))
+            gaps = rng.integers(0, gmax + 1, size=m)
+            block = prev + np.cumsum(gaps + 1)
+            starts.append(pos)
+            ends.append(pos + m)
+            vals.append(block)
+            prevs.append(prev)
+            prev = int(block[-1])
+            pos += m
+        docs = np.concatenate(vals).astype(np.int64)
+        starts = np.array(starts)
+        ends = np.array(ends)
+        prevs = np.array(prevs)
+        stream, lens = ef_encode_blocks(docs, starts, ends, prevs)
+        parts = [encode_gap_stream(docs[s:e], int(p), "ef")
+                 for s, e, p in zip(starts, ends, prevs)]
+        assert stream == b"".join(parts)
+        assert list(lens) == [len(p) for p in parts]
+        gaps_all = np.diff(docs, prepend=np.int64(0)).astype(np.int64)
+        gaps_all[starts] = docs[starts] - prevs
+        gaps_all = (gaps_all - 1).astype(np.uint64)
+        stream2, lens2 = bp_encode_blocks(gaps_all, starts, ends)
+        parts2 = [bp_encode(gaps_all[s:e]) for s, e in zip(starts, ends)]
+        assert stream2 == b"".join(parts2)
+        assert list(lens2) == [len(p) for p in parts2]
