@@ -487,33 +487,48 @@ def pef_decode(buf: bytes) -> tuple[np.ndarray, int]:
 # -------------------------------------------- binary interpolative coding
 
 class _BitWriter:
-    __slots__ = ("bits",)
+    __slots__ = ("chunks", "acc", "acc_bits")
 
     def __init__(self):
-        self.bits: list = []
+        self.chunks: list = []
+        self.acc = 0
+        self.acc_bits = 0
 
     def write(self, value: int, width: int) -> None:
-        for i in range(width - 1, -1, -1):
-            self.bits.append((value >> i) & 1)
+        # accumulate MSB-first into an int, flush whole bytes
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.acc_bits += width
+        if self.acc_bits >= 4096:
+            spill = self.acc_bits % 8
+            top = self.acc >> spill
+            self.chunks.append(top.to_bytes((self.acc_bits - spill) // 8,
+                                            "big"))
+            self.acc &= (1 << spill) - 1
+            self.acc_bits = spill
 
     def tobytes(self) -> bytes:
-        arr = np.array(self.bits, dtype=np.uint8)
-        return np.packbits(arr, bitorder="big").tobytes()
+        pad = (-self.acc_bits) % 8
+        tail = ((self.acc << pad).to_bytes((self.acc_bits + pad) // 8, "big")
+                if self.acc_bits else b"")
+        return b"".join(self.chunks) + tail
 
 
 class _BitReader:
-    __slots__ = ("arr", "pos")
+    __slots__ = ("arr", "pos", "_pow")
 
     def __init__(self, buf: bytes):
         self.arr = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
-                                 bitorder="big")
+                                 bitorder="big").astype(np.int64)
         self.pos = 0
 
     def read(self, width: int) -> int:
+        if width == 0:
+            return 0
+        s = self.arr[self.pos:self.pos + width]
+        self.pos += width
         v = 0
-        for _ in range(width):
-            v = (v << 1) | int(self.arr[self.pos])
-            self.pos += 1
+        for b in s.tolist():
+            v = (v << 1) | b
         return v
 
 

@@ -24,6 +24,11 @@ algorithms (cursor loops don't vectorize; doc-range batching does):
   running threshold; candidates come only from essential lists;
   non-essential lists are probed by searchsorted lookup with bound
   re-filtering in descending-max-score order.
+- block_max_maxscore (block_max_maxscore_query.hpp:10-101): maxscore with
+  the remaining non-essential mass bounded PER DOC by the max of the block
+  that would contain the doc in each unprobed list (the reference's
+  block_max_score at the cursor, batched per doc-range) — tighter pruning,
+  identical ranking.
 - block_max_wand (block_max_wand_query.hpp:10-169): per doc-range, skip
   the whole range when the sum of per-term block maxima is below the
   threshold; then filter candidates by their per-doc sum of block maxima
@@ -58,8 +63,8 @@ F32 = np.float32
 
 TOPK_PARTIAL_SCHEMA = "qid string, doc_id long, score float"
 
-ALGORITHMS = ("ranked_or", "maxscore", "wand", "block_max_wand",
-              "ranked_and", "block_max_ranked_and")
+ALGORITHMS = ("ranked_or", "maxscore", "block_max_maxscore", "wand",
+              "block_max_wand", "ranked_and", "block_max_ranked_and")
 
 # TaaT variants share the exhaustive kernel: scoring every candidate in a
 # doc-range batch IS term-at-a-time accumulation over that range
@@ -68,10 +73,6 @@ ALGORITHMS = ("ranked_or", "maxscore", "wand", "block_max_wand",
 _ALGORITHM_ALIASES = {
     "ranked_or_taat": "ranked_or",
     "ranked_or_taat_lazy": "ranked_or",
-    # our maxscore's non-essential bounds are already block-granular
-    # (range_ub over block maxima), which IS block_max_maxscore's
-    # refinement (block_max_maxscore.hpp) — same kernel
-    "block_max_maxscore": "maxscore",
 }
 
 
@@ -328,7 +329,7 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
                 for run in runs:
                     bound += run.doc_block_ub(cand)
                 cand = cand[bound >= prune]
-        elif algorithm == "maxscore":
+        elif algorithm in ("maxscore", "block_max_maxscore"):
             # non-essential prefix (ascending ub) with cum-ub strictly below
             # theta can never alone lift a doc past the threshold
             cum = np.cumsum(ubs[order], dtype=F32)
@@ -344,16 +345,41 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
             partial = np.zeros(cand.size, dtype=F32)
             for run in ess:
                 partial += run.contrib(cand, scorer, stats, doc_lens, shard_base)
-            remaining = F32(sum(ub for _, ub in noness))
-            keep = partial + remaining >= prune
-            cand, partial = cand[keep], partial[keep]
-            for run, ub in sorted(noness, key=lambda p: -p[1]):
-                if cand.size == 0:
-                    break
-                partial += run.contrib(cand, scorer, stats, doc_lens, shard_base)
-                remaining = F32(remaining - ub)
+            noness_sorted = sorted(noness, key=lambda p: -p[1])
+            if algorithm == "block_max_maxscore":
+                # per-doc refinement: bound each candidate's remaining
+                # non-essential mass by the max of the BLOCK that would
+                # contain it in each unprobed list, not the list's range
+                # max (reference block_max_maxscore_query.hpp:10-101's
+                # block_max_score at the cursor, batched per doc-range).
+                # Still a safe upper bound per doc, so pruning stays exact.
+                nb = [run.doc_block_ub(cand) for run, _ in noness_sorted]
+                rem = (np.sum(nb, axis=0, dtype=F32) if nb
+                       else np.zeros(cand.size, dtype=F32))
+                keep = partial + rem >= prune
+                cand, partial, rem = cand[keep], partial[keep], rem[keep]
+                nb = [b[keep] for b in nb]
+                for i, (run, _) in enumerate(noness_sorted):
+                    if cand.size == 0:
+                        break
+                    partial += run.contrib(cand, scorer, stats, doc_lens,
+                                           shard_base)
+                    rem = rem - nb[i]
+                    keep = partial + rem >= prune
+                    cand, partial, rem = cand[keep], partial[keep], rem[keep]
+                    nb = [b[keep] for b in nb]
+            else:
+                remaining = F32(sum(ub for _, ub in noness))
                 keep = partial + remaining >= prune
                 cand, partial = cand[keep], partial[keep]
+                for run, ub in noness_sorted:
+                    if cand.size == 0:
+                        break
+                    partial += run.contrib(cand, scorer, stats, doc_lens,
+                                           shard_base)
+                    remaining = F32(remaining - ub)
+                    keep = partial + remaining >= prune
+                    cand, partial = cand[keep], partial[keep]
         else:
             raise ValueError(f"unknown algorithm {algorithm!r}")
 

@@ -208,8 +208,8 @@ def test_layout_variants_rank_identity(spark, corpus, queries,
 
 def test_reference_algorithm_names_resolve(index, queries, oracle_results):
     """Every reference CLI algorithm string must resolve and stay
-    rank-identical (block_max_maxscore folds into the block-granular
-    maxscore kernel; taat aliases fold into ranked_or)."""
+    rank-identical (block_max_maxscore is now a real kernel with per-doc
+    block-refined non-essential bounds; taat aliases fold into ranked_or)."""
     for name in ("block_max_maxscore", "ranked_or_taat", "ranked_or_taat_lazy"):
         out = topk_search(index, queries[:8], k=K, algorithm=name,
                           range_span=128).toPandas()
@@ -219,3 +219,21 @@ def test_reference_algorithm_names_resolve(index, queries, oracle_results):
         }
         for q in got:
             assert got[q] == oracle_results[q], (name, q)
+
+
+def test_block_max_maxscore_prunes_at_least_as_tight(index, queries):
+    """The per-doc block-refined non-essential bound (reference
+    block_max_maxscore_query.hpp:10-101) must never score MORE docs than
+    plain maxscore's range-granular bound, and ranking stays identical
+    (the previous test). Counters via profile_queries."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import profile_queries
+
+    per_alg = {}
+    for name in ("maxscore", "block_max_maxscore"):
+        prof = (profile_queries(index, queries[:8], k=K, algorithm=name,
+                                range_span=128)
+                .agg(F.sum("docs_scored")).collect()[0][0])
+        per_alg[name] = int(prof)
+    assert per_alg["block_max_maxscore"] <= per_alg["maxscore"]
