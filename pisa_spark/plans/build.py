@@ -365,6 +365,27 @@ def _f32(x: float) -> float:
     return float(np.float32(x))
 
 
+
+def _vocab_probe(terms_distinct, cap: int):
+    """One job that BOTH decides small-vs-web-scale vocabulary and fetches
+    it when small. Arrow toPandas instead of collect(): Row-object
+    materialization of a 100k+ string vocabulary costs seconds of DRIVER
+    time — a fixed cost that bills straight against build scaling."""
+    pdf = terms_distinct.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    return sorted(pdf["term"].tolist())
+
+
+def _lexicon_from_vocab(spark, vocab: list):
+    """Dense term_ids for a sorted vocabulary, shipped via Arrow (a plain
+    createDataFrame over 100k+ Python tuples serializes row-by-row —
+    seconds of fixed driver time)."""
+    lex_pdf = pd.DataFrame(
+        {"term": vocab, "term_id": np.arange(len(vocab), dtype=np.int64)})
+    return spark.createDataFrame(lex_pdf, "term string, term_id long")
+
+
 def join_term_ids(enc_str_df, lexicon_df, broadcast_max: int):
     """Attach dense term_ids to string-keyed encoded posting rows (the
     lexicon-last join-back, shared by the resumable build and load_index).
@@ -549,16 +570,10 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             lexicon_base = manifest.read_df(spark, "lexicon_base")
         else:
             terms_distinct = flat_terms.select("term").distinct()
-            # optimistic limited collect: ONE job decides small-vs-web-scale
-            # vocabulary AND fetches it when small
-            probe = terms_distinct.limit(
-                cfg.lexicon_broadcast_max + 1).collect()
-            if len(probe) <= cfg.lexicon_broadcast_max:
-                vocab = sorted(r[0] for r in probe)
+            vocab = _vocab_probe(terms_distinct, cfg.lexicon_broadcast_max)
+            if vocab is not None:
                 vocab_map = {t: i for i, t in enumerate(vocab)}
-                lex_with_ids = spark.createDataFrame(
-                    list(zip(vocab, range(len(vocab)))),
-                    "term string, term_id long")
+                lex_with_ids = _lexicon_from_vocab(spark, vocab)
             else:
                 terms_distinct = terms_distinct.persist(
                     StorageLevel.MEMORY_AND_DISK_DESER)
@@ -769,13 +784,9 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             lexicon_base = manifest.read_df(spark, "lexicon_base")
         else:
             terms_distinct = enc_str.select("term").distinct()
-            probe = terms_distinct.limit(
-                cfg.lexicon_broadcast_max + 1).collect()
-            if len(probe) <= cfg.lexicon_broadcast_max:
-                vocab = sorted(r[0] for r in probe)
-                lex_with_ids = spark.createDataFrame(
-                    list(zip(vocab, range(len(vocab)))),
-                    "term string, term_id long")
+            vocab = _vocab_probe(terms_distinct, cfg.lexicon_broadcast_max)
+            if vocab is not None:
+                lex_with_ids = _lexicon_from_vocab(spark, vocab)
             else:
                 terms_distinct = terms_distinct.persist(
                     StorageLevel.MEMORY_AND_DISK_DESER)
@@ -816,14 +827,11 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         # cache (cache-on-first-scan): one job pays for both, instead of a
         # count() pass followed by a separate distinct pass.
         terms_distinct = enc_str.select("term").distinct()
-        probe = terms_distinct.limit(cfg.lexicon_broadcast_max + 1).collect()
+        vocab = _vocab_probe(terms_distinct, cfg.lexicon_broadcast_max)
         _phase("encode_postings")
-        if len(probe) <= cfg.lexicon_broadcast_max:
-            vocab = sorted(r[0] for r in probe)
+        if vocab is not None:
             vocab_map = {t: i for i, t in enumerate(vocab)}
-            lexicon_base = spark.createDataFrame(
-                list(zip(vocab, range(len(vocab)))),
-                "term string, term_id long")
+            lexicon_base = _lexicon_from_vocab(spark, vocab)
             postings = (enc_str.join(F.broadcast(lexicon_base), "term")
                         .drop("term"))
         else:
