@@ -386,6 +386,53 @@ def _lexicon_from_vocab(spark, vocab: list):
     return spark.createDataFrame(lex_pdf, "term string, term_id long")
 
 
+_LEXICON_SCHEMA = ("term string, term_id long, df long, cf long, "
+                   "max_part float, max_score float")
+
+
+def _max_score_np(df_arr: np.ndarray, max_part: np.ndarray, scorer,
+                  cfg: IndexConfig, stats: dict) -> np.ndarray:
+    """max_score column, numpy — mirrors the distributed lexicon stage's
+    expressions bit-for-bit (bm25: double idf * double(max_part) cast
+    float32, like the SQL; other separable: scorer.idf f32 * f32)."""
+    mp = max_part.astype(np.float32)
+    if scorer.separable and cfg.scorer == "bm25":
+        dfv = df_arr.astype(np.float64)
+        idf = np.maximum(1e-6, np.log(
+            (float(stats["num_docs"]) - dfv + 0.5) / (dfv + 0.5))
+        ) * (1.0 + cfg.bm25_k1)
+        return (idf * mp.astype(np.float64)).astype(np.float32)
+    if scorer.separable:
+        return scorer.idf(df_arr, stats["num_docs"]) * mp
+    return mp
+
+
+def _lexicon_from_term_agg(spark, agg_pdf: pd.DataFrame, scorer,
+                           cfg: IndexConfig, stats: dict):
+    """Full lexicon (term, term_id, df, cf, max_part, max_score) built
+    DRIVER-side from the one-scan per-term aggregation of the encoded
+    rows (broadcastable vocabularies only), shipped via Arrow. Fusing the
+    vocabulary probe and the WAND term-stats scan into one job removes a
+    whole pass over the encoded cache from every lexicon-last build."""
+    agg_pdf = agg_pdf.sort_values("term", kind="mergesort").reset_index(
+        drop=True)
+    agg_pdf["term_id"] = np.arange(len(agg_pdf), dtype=np.int64)
+    agg_pdf["max_score"] = _max_score_np(
+        agg_pdf["df"].to_numpy(), agg_pdf["max_part"].to_numpy(),
+        scorer, cfg, stats)
+    out = agg_pdf[["term", "term_id", "df", "cf", "max_part", "max_score"]]
+    return spark.createDataFrame(out, _LEXICON_SCHEMA)
+
+
+def _term_agg_of(enc_str):
+    """Per-term WAND stats straight off the string-keyed encoded rows."""
+    from pyspark.sql import functions as F
+
+    return enc_str.groupBy("term").agg(
+        F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
+        F.max(F.array_max("block_max_part")).alias("max_part"))
+
+
 def join_term_ids(enc_str_df, lexicon_df, broadcast_max: int):
     """Attach dense term_ids to string-keyed encoded posting rows (the
     lexicon-last join-back, shared by the resumable build and load_index).
@@ -407,6 +454,34 @@ def join_term_ids(enc_str_df, lexicon_df, broadcast_max: int):
     else:
         joined = enc_str_df.join(lex, "term")
     return joined.drop("term").select(*_ENCODED_COLUMNS)
+
+
+
+def _with_max_score(lex, scorer, cfg: IndexConfig, stats: dict):
+    """Append the max_score column to a (.., df, cf, max_part) lexicon DF —
+    the WAND term upper bound (wand_data.hpp:64-115); SQL doubles for bm25
+    (kernels recompute idf in float32 themselves), scorer.idf pandas UDF
+    for other separable scorers, pass-through otherwise."""
+    from pyspark.sql import functions as F
+
+    if scorer.separable and cfg.scorer == "bm25":
+        n_docs, k1 = stats["num_docs"], cfg.bm25_k1
+        idf = F.greatest(
+            F.lit(1e-6),
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5))) * F.lit(1.0 + k1)
+        return lex.withColumn(
+            "max_score", (idf * F.col("max_part")).cast("float"))
+    if scorer.separable:
+        n_docs = stats["num_docs"]
+
+        @F.pandas_udf("float")
+        def _max_score(df_col: pd.Series, mp: pd.Series) -> pd.Series:
+            idf = scorer.idf(df_col.to_numpy(), n_docs)
+            return pd.Series(idf * mp.to_numpy(dtype=np.float32))
+
+        return lex.withColumn("max_score", _max_score("df", "max_part"))
+    return lex.withColumn("max_score", F.col("max_part").cast("float"))
 
 
 def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
@@ -536,6 +611,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
     colocated = False  # set True by the shard-keyed docwise encode paths
     enc_str_handle = None  # lexicon-last string-keyed rows (serve path)
+    lexicon = None  # set early by the fused lexicon-last small-vocab paths
     plain_scoring = (cfg.quantize_bits is None
                      and (scorer.separable
                           or getattr(scorer, "stats_free", False)))
@@ -776,27 +852,35 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         enc_str_handle = enc_str
         _phase("encode_postings")
         # ---- stage: lexicon from the ENCODED rows, then term_ids joined
-        # back onto the parquet-backed string-keyed rows (same split as the
-        # in-memory flow below; the postings artifact keeps TERM STRINGS so
-        # a bucket never has to be rewritten when the vocabulary changes
-        # resume-to-resume — load_index re-joins ids the same way)
-        if manifest.done("lexicon_base"):
-            lexicon_base = manifest.read_df(spark, "lexicon_base")
+        # back onto the parquet-backed string-keyed rows (the postings
+        # artifact keeps TERM STRINGS so a bucket never has to be rewritten
+        # when the vocabulary changes resume-to-resume — load_index
+        # re-joins ids the same way). Vocabulary probe and WAND term stats
+        # are ONE fused aggregation scan; for broadcastable vocabularies
+        # the whole lexicon is then assembled driver-side (Arrow).
+        if manifest.done("lexicon"):
+            lexicon = manifest.read_df(spark, "lexicon")
         else:
-            terms_distinct = enc_str.select("term").distinct()
-            vocab = _vocab_probe(terms_distinct, cfg.lexicon_broadcast_max)
-            if vocab is not None:
-                lex_with_ids = _lexicon_from_vocab(spark, vocab)
+            agg_pdf = _term_agg_of(enc_str).limit(
+                cfg.lexicon_broadcast_max + 1).toPandas()
+            if len(agg_pdf) <= cfg.lexicon_broadcast_max:
+                lex_full = _lexicon_from_term_agg(spark, agg_pdf, scorer,
+                                                  cfg, stats)
             else:
-                terms_distinct = terms_distinct.persist(
+                # web-scale vocabulary: distributed dense-id assignment,
+                # stats joined back on the term string
+                terms_distinct = enc_str.select("term").distinct().persist(
                     StorageLevel.MEMORY_AND_DISK_DESER)
                 term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
-                lex_with_ids, _lex_cache, _ = assign_rank_ids(
+                lex_ids, _lex_cache, _ = assign_rank_ids(
                     terms_distinct, "term", "term_id", term_cuts, parts)
-                lex_with_ids = lex_with_ids.select("term", "term_id")
-            manifest.write_df("lexicon_base", lex_with_ids)
-            lexicon_base = manifest.read_df(spark, "lexicon_base")
-        postings = join_term_ids(enc_str, lexicon_base,
+                lex_full = _with_max_score(
+                    lex_ids.select("term", "term_id").join(
+                        _term_agg_of(enc_str), "term"),
+                    scorer, cfg, stats)
+            manifest.write_df("lexicon", lex_full)
+            lexicon = manifest.read_df(spark, "lexicon")
+        postings = join_term_ids(enc_str, lexicon,
                                  cfg.lexicon_broadcast_max)
         _phase("lexicon_base")
     elif lexicon_last:
@@ -823,18 +907,22 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         enc_str_handle = enc_str
         # ---- stage: lexicon from the ENCODED rows (sorted distinct terms
         # -> dense term_ids, fwd.terms semantics) + term_id join-back.
-        # The vocabulary probe IS the materializing action for the encode
-        # cache (cache-on-first-scan): one job pays for both, instead of a
-        # count() pass followed by a separate distinct pass.
-        terms_distinct = enc_str.select("term").distinct()
-        vocab = _vocab_probe(terms_distinct, cfg.lexicon_broadcast_max)
+        # The per-term aggregation is ONE fused job that (a) materializes
+        # the encode cache (cache-on-first-scan), (b) decides small-vs-
+        # web-scale vocabulary, (c) fetches the vocabulary AND its WAND
+        # term stats when small — the lexicon is then assembled driver-side
+        # (Arrow), removing the separate lexicon_meta scan over the cache.
+        agg_pdf = _term_agg_of(enc_str).limit(
+            cfg.lexicon_broadcast_max + 1).toPandas()
         _phase("encode_postings")
-        if vocab is not None:
-            vocab_map = {t: i for i, t in enumerate(vocab)}
-            lexicon_base = _lexicon_from_vocab(spark, vocab)
+        if len(agg_pdf) <= cfg.lexicon_broadcast_max:
+            lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer, cfg,
+                                             stats)
+            lexicon_base = lexicon.select("term", "term_id")
             postings = (enc_str.join(F.broadcast(lexicon_base), "term")
                         .drop("term"))
         else:
+            terms_distinct = enc_str.select("term").distinct()
             terms_distinct = terms_distinct.persist(
                 StorageLevel.MEMORY_AND_DISK_DESER)
             term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
@@ -889,8 +977,11 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     # ---- stage: lexicon with term stats + max scores (WAND term metadata),
     # aggregated from the encoded rows (one per shard x term) — ~100x fewer
     # rows than the flat postings the reference streams twice
-    # (wand_data.hpp:64-115).
-    if manifest and manifest.done("lexicon"):
+    # (wand_data.hpp:64-115). The fused lexicon-last paths above already
+    # built it in the same scan as the vocabulary probe (lexicon set).
+    if lexicon is not None:
+        pass
+    elif manifest and manifest.done("lexicon"):
         lexicon = manifest.read_df(spark, "lexicon")
     else:
         term_meta = postings.groupBy("term_id").agg(
@@ -902,29 +993,8 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             # (reference wand_data term stats semantics)
             term_meta = (term_meta.drop("df", "cf")
                          .join(true_term_stats, "term_id"))
-        lex = lexicon_base.join(term_meta, "term_id")
-        if scorer.separable and cfg.scorer == "bm25":
-            # metadata column (kernels recompute idf in float32 themselves;
-            # SQL doubles here save a python stage in the build):
-            # idf = max(1e-6, ln((N-df+0.5)/(df+0.5))) * (1+k1)
-            n_docs, k1 = stats["num_docs"], cfg.bm25_k1
-            idf = F.greatest(
-                F.lit(1e-6),
-                F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
-                      / (F.col("df") + 0.5))) * F.lit(1.0 + k1)
-            lex = lex.withColumn(
-                "max_score", (idf * F.col("max_part")).cast("float"))
-        elif scorer.separable:
-            n_docs = stats["num_docs"]
-
-            @F.pandas_udf("float")
-            def _max_score(df_col: pd.Series, mp: pd.Series) -> pd.Series:
-                idf = scorer.idf(df_col.to_numpy(), n_docs)
-                return pd.Series(idf * mp.to_numpy(dtype=np.float32))
-
-            lex = lex.withColumn("max_score", _max_score("df", "max_part"))
-        else:
-            lex = lex.withColumn("max_score", F.col("max_part").cast("float"))
+        lex = _with_max_score(lexicon_base.join(term_meta, "term_id"),
+                              scorer, cfg, stats)
         if manifest:
             manifest.write_df("lexicon", lex)
             lexicon = manifest.read_df(spark, "lexicon")
