@@ -916,8 +916,14 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             cfg.lexicon_broadcast_max + 1).toPandas()
         _phase("encode_postings")
         if len(agg_pdf) <= cfg.lexicon_broadcast_max:
+            # persist + materialize the driver-built lexicon: left as a
+            # LocalRelation, every downstream job (each query's lexicon
+            # join / broadcast build) re-materializes the 100k+-row local
+            # data into the plan — measured ~1-2 s per 200-query batch at
+            # 300k docs; as a cached relation it is scanned like any table
             lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer, cfg,
-                                             stats)
+                                             stats).persist()
+            lexicon.count()
             lexicon_base = lexicon.select("term", "term_id")
             postings = (enc_str.join(F.broadcast(lexicon_base), "term")
                         .drop("term"))
