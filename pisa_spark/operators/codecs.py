@@ -514,22 +514,24 @@ class _BitWriter:
 
 
 class _BitReader:
-    __slots__ = ("arr", "pos", "_pow")
+    __slots__ = ("buf", "pos")
 
     def __init__(self, buf: bytes):
-        self.arr = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
-                                 bitorder="big").astype(np.int64)
+        self.buf = buf
         self.pos = 0
 
     def read(self, width: int) -> int:
+        # O(1) per call: slice the <=9 covering bytes, shift, mask —
+        # no per-bit loop (a width-w read touches ceil((off+w)/8) bytes).
         if width == 0:
             return 0
-        s = self.arr[self.pos:self.pos + width]
-        self.pos += width
-        v = 0
-        for b in s.tolist():
-            v = (v << 1) | b
-        return v
+        p = self.pos
+        self.pos = p + width
+        byte0 = p >> 3
+        off = p & 7
+        nbytes = (off + width + 7) >> 3
+        chunk = int.from_bytes(self.buf[byte0:byte0 + nbytes], "big")
+        return (chunk >> (nbytes * 8 - off - width)) & ((1 << width) - 1)
 
 
 def _center_width(rng: int) -> int:
@@ -614,10 +616,14 @@ def gamma_encode(values: np.ndarray) -> bytes:
     # per-value: (nbits-1) zeros, then bits(v) MSB-first (leading 1 doubles
     # as the unary terminator)
     starts = np.concatenate(([0], np.cumsum(2 * nbits - 1)[:-1]))
-    for i in range(v.size):  # values are few (headers); clarity over speed
-        b, s = int(nbits[i]), int(starts[i])
-        for j in range(b):
-            out[s + (b - 1) + j] = (int(v[i]) >> (b - 1 - j)) & 1
+    # scatter all value bits in one vectorized pass: for value i, bit j
+    # (MSB-first) lands at starts[i] + (nbits[i]-1) + j
+    val_starts = np.concatenate(([0], np.cumsum(nbits)[:-1]))
+    vi = np.repeat(np.arange(v.size), nbits)
+    j = np.arange(int(nbits.sum())) - np.repeat(val_starts, nbits)
+    shift = (nbits[vi] - 1 - j).astype(np.uint64)
+    out[starts[vi] + (nbits[vi] - 1) + j] = \
+        ((v[vi] >> shift) & np.uint64(1)).astype(np.uint8)
     return varint_encode(np.array([v.size], dtype=np.uint64)) + np.packbits(
         out, bitorder="big").tobytes()
 
@@ -628,18 +634,19 @@ def gamma_decode(buf: bytes) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     bits = np.unpackbits(b[pos:], bitorder="big")
+    # next-set-bit table (one vectorized pass) -> O(1) per code: z zeros
+    # end at nxt[p], and the z+1 value bits are read as one chunked int.
+    idx = np.arange(bits.size, dtype=np.int64)
+    nxt = np.where(bits == 1, idx, bits.size)
+    nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+    r = _BitReader(b[pos:].tobytes())
     out = np.empty(n, dtype=np.uint64)
     p = 0
     for i in range(n):
-        z = 0
-        while bits[p] == 0:
-            z += 1
-            p += 1
-        val = 0
-        for _ in range(z + 1):
-            val = (val << 1) | int(bits[p])
-            p += 1
-        out[i] = val
+        z = int(nxt[p]) - p
+        r.pos = p + z
+        out[i] = r.read(z + 1)
+        p += 2 * z + 1
     return out
 
 

@@ -19,6 +19,37 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def decode_throughput(n: int = 1_000_000, repeats: int = 3) -> dict:
+    """Single-thread decode throughput (M ints/s) per codec on one long
+    strictly-increasing docID stream — documents each codec's tier: the
+    numpy-vectorized codecs (varint/ef/bp128) are the hot query tier;
+    pef adds per-partition dispatch; bic decodes via an O(1)-per-read
+    bit reader but remains per-element Python, i.e. a cold/size tier."""
+    import time
+
+    import numpy as np
+
+    from pisa_spark.operators.codecs import (CODECS, decode_gap_stream,
+                                             encode_gap_stream)
+
+    rng = np.random.default_rng(11)
+    docs = np.sort(rng.choice(n * 16, size=n, replace=False)).astype(np.int64)
+    out = {}
+    for codec in CODECS:
+        if codec == "opt":
+            continue  # dispatch wrapper; measures as its chosen base codec
+        buf = encode_gap_stream(docs, -1, codec)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            dec = decode_gap_stream(buf, -1, codec, count=n)
+            best = min(best, time.time() - t0)
+        assert np.array_equal(dec, docs), codec
+        out[codec] = {"m_ints_per_sec": round(n / best / 1e6, 2),
+                      "bits_per_gap": round(8.0 * len(buf) / n, 3)}
+    return out
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -130,7 +161,8 @@ def main() -> None:
                                   / max(url_bytes, 1), 2),
     }
     print(json.dumps({"n_docs": n_docs, "queries": 100, "layouts": out,
-                      "bp_clustered": out_bp}))
+                      "bp_clustered": out_bp,
+                      "decode_throughput": decode_throughput()}))
 
 
 if __name__ == "__main__":
