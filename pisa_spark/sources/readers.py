@@ -6,8 +6,14 @@ record streams (src/parser.cpp:55-79); these readers map them onto the same
 (url, text) document-record shape (document_record.hpp:9-23: title is the
 unique document identifier).
 
-trecweb/trectext/warc/wapo parsers are out of scope for the webtext graft
-(the Iceberg table already carries per-url html/text) — see SURVEY §2.1.
+trecweb/trectext/warc/wapo record streams (src/parser.cpp:83-183) are also
+supported: records are split JVM-side with a multi-character `lineSep`
+(one text-scan task per HDFS split, no Python in the loop) and parsed with
+Column regexes, so every reader is a plain distributed DataFrame scan.
+Each returns (url, title, text): `title` is the reference's document key
+(DOCNO / WARC-TREC-ID / wapo id; document_record.hpp:9-23) and `url`
+falls back to it when the stream carries no real url, matching the
+engine's url-keyed corpus shape.
 """
 
 from __future__ import annotations
@@ -43,6 +49,146 @@ def read_jsonl(spark, path: str):
         F.coalesce(F.col("url"), F.col("title")).alias("url"),
         F.coalesce(F.col("content"), F.lit("")).alias("text"),
     )
+
+
+def _split_records(spark, path: str, delimiter: str):
+    """Distributed record split: the text source's multi-character lineSep
+    plays the role of the reference's per-record stream readers
+    (src/parser.cpp:68-80 record_parser) — each HDFS split yields its own
+    records, so parsing scales with input size like any other scan."""
+    return spark.read.option("lineSep", delimiter).text(path)
+
+
+def read_trectext(spark, path: str):
+    """TREC SGML text records: <DOC> blocks with <DOCNO>id</DOCNO> and one
+    or more <TEXT>...</TEXT> sections whose concatenation is the content
+    (trec_record_parser, src/parser.cpp:31-53,83-85; the trecpp text
+    format). Records without a DOCNO are skipped, like the reference's
+    skip-invalid-record path."""
+    from pyspark.sql import functions as F
+
+    recs = _split_records(spark, path, "<DOC>")
+    docno = F.trim(F.regexp_extract(
+        "value", r"(?s)<DOCNO>(.*?)</DOCNO>", 1))
+    text = F.array_join(F.regexp_extract_all(
+        "value", F.lit(r"(?s)<TEXT>(.*?)</TEXT>"), F.lit(1)), "\n")
+    return (recs
+            .select(docno.alias("title"), text.alias("text"))
+            .filter(F.length("title") > 0)
+            .select(F.col("title").alias("url"), "title", "text"))
+
+
+def read_trecweb(spark, path: str):
+    """TREC web records: <DOC> blocks carrying <DOCNO>, a <DOCHDR> whose
+    first line is the crawled URL, and the raw page after </DOCHDR>
+    (src/parser.cpp:86-109; the trecpp web format). The page keeps its
+    HTTP headers — StripHtmlFilter/HTTP-strip downstream handle them the
+    same way the reference's parse_html_content does."""
+    from pyspark.sql import functions as F
+
+    recs = _split_records(spark, path, "<DOC>")
+    docno = F.trim(F.regexp_extract(
+        "value", r"(?s)<DOCNO>(.*?)</DOCNO>", 1))
+    dochdr = F.regexp_extract("value", r"(?s)<DOCHDR>\s*(.*?)</DOCHDR>", 1)
+    url = F.trim(F.get(F.split(dochdr, r"[\r\n]+", 2), 0))
+    # F.trim strips spaces only — records are newline-framed, so trim all
+    # whitespace around the page body with a regex
+    body = F.regexp_replace(
+        F.regexp_extract("value", r"(?s)</DOCHDR>(.*?)</DOC>", 1),
+        r"(?s)^\s+|\s+$", "")
+    return (recs
+            .select(docno.alias("title"), url.alias("url"),
+                    body.alias("text"))
+            .filter(F.length("title") > 0)
+            .select(F.coalesce(F.nullif("url", F.lit("")),
+                               F.col("title")).alias("url"),
+                    "title", "text"))
+
+
+def read_warc(spark, path: str):
+    """WARC (ISO 28500) response records: WARC/x.y header block, blank
+    line, then the captured HTTP response. Mirrors src/parser.cpp:110-145:
+    keep only WARC-Type: response records, key on WARC-TREC-ID when
+    present else WARC-Record-ID, url from WARC-Target-URI; everything
+    after the WARC header block (HTTP headers included) is the content.
+    Records are delimited by the mandatory blank line + next version
+    marker, so gzip-unaware plain .warc files split distributedly."""
+    from pyspark.sql import functions as F
+
+    recs = _split_records(spark, path, "\r\n\r\nWARC/")
+    # value = "<version>\r\n<warc headers>\r\n\r\n<http response...>"
+    # (the first record keeps its "WARC/" prefix; later ones start at the
+    # version digits — the header regexes are anchored per line either way)
+    warc_hdr = F.get(F.split("value", r"\r\n\r\n", 2), 0)
+    field = lambda name: F.trim(F.regexp_extract(  # noqa: E731
+        warc_hdr, rf"(?mi)^{name}:\s*(.*?)\s*$", 1))
+    rest = F.coalesce(F.get(F.split("value", r"\r\n\r\n", 2), 1), F.lit(""))
+    return (recs
+            .filter(F.lower(field("WARC-Type")) == "response")
+            .select(
+                F.regexp_replace(field("WARC-Target-URI"), r"^<|>$", "")
+                 .alias("target_uri"),
+                F.coalesce(
+                    F.nullif(field("WARC-TREC-ID"), F.lit("")),
+                    F.regexp_replace(field("WARC-Record-ID"), r"^<|>$", ""))
+                 .alias("title"),
+                rest.alias("text"))
+            .filter(F.length("title") > 0)
+            .select(F.coalesce(F.nullif("target_uri", F.lit("")),
+                               F.col("title")).alias("url"),
+                    "title", "text"))
+
+
+def read_wapo(spark, path: str):
+    """Washington Post collection (JSONL): one article per line with `id`,
+    `article_url` and a heterogeneous `contents` array; the document text
+    is the space-joined concatenation of kicker/title/byline/text
+    contents, author name + bio, and image caption + blurb, in stream
+    order — the exact field set src/parser.cpp:146-183 appends. Pure
+    Column aggregation over the parsed array (no Python per record)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    content_t = T.StructType([
+        T.StructField("type", T.StringType(), True),
+        T.StructField("subtype", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("bio", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("blurb", T.StringType(), True),
+    ])
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("article_url", T.StringType(), True),
+        T.StructField("contents", T.ArrayType(content_t), True),
+    ])
+    df = spark.read.schema(schema).json(path).filter(F.col("id").isNotNull())
+
+    def piece(c):
+        blank = F.lit("")
+        txt = F.when(
+            c["type"].isin("kicker", "title", "byline", "text",
+                           "sanitized_html"),
+            F.concat(F.lit(" "), F.coalesce(c["content"], blank)))
+        author = F.when(
+            c["type"] == "author_info",
+            F.concat(F.lit(" "), F.coalesce(c["name"], blank),
+                     F.lit(" "), F.coalesce(c["bio"], blank)))
+        image = F.when(
+            c["type"] == "image",
+            F.concat(F.lit(" "), F.coalesce(c["caption"], blank),
+                     F.lit(" "), F.coalesce(c["blurb"], blank),
+                     F.lit(" ")))
+        return F.coalesce(txt, author, image, blank)
+
+    text = F.array_join(
+        F.transform(F.coalesce("contents", F.array()), piece), "")
+    return df.select(
+        F.coalesce(F.nullif("article_url", F.lit("")),
+                   F.col("id")).alias("url"),
+        F.col("id").alias("title"),
+        text.alias("text"))
 
 
 def read_queries(path: str) -> list[str]:

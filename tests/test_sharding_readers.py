@@ -175,3 +175,100 @@ def test_taily_threshold_tracks_truth(spark, index):
             assert 0.1 * t < est[qid] < 10 * t, (qid, t, est[qid])
             checked += 1
     assert checked >= 2
+
+
+def test_read_trectext(spark, tmp_path):
+    from pisa_spark.sources.readers import read_trectext
+
+    p = tmp_path / "coll.trectext"
+    p.write_text(
+        "<DOC>\n<DOCNO> WSJ-1 </DOCNO>\n<HL>ignored</HL>\n"
+        "<TEXT>\nfirst part\n</TEXT>\n<TEXT>second part</TEXT>\n</DOC>\n"
+        "<DOC>\n<DOCNO>WSJ-2</DOCNO>\n<TEXT>only</TEXT>\n</DOC>\n"
+        "<DOC>\n<TEXT>no docno: skipped</TEXT>\n</DOC>\n")
+    rows = {r["title"]: r for r in read_trectext(spark, str(p)).collect()}
+    assert set(rows) == {"WSJ-1", "WSJ-2"}
+    assert rows["WSJ-1"]["url"] == "WSJ-1"
+    assert "first part" in rows["WSJ-1"]["text"]
+    assert "second part" in rows["WSJ-1"]["text"]
+    assert rows["WSJ-2"]["text"] == "only"
+
+
+def test_read_trecweb(spark, tmp_path):
+    from pisa_spark.sources.readers import read_trecweb
+
+    p = tmp_path / "coll.trecweb"
+    p.write_text(
+        "<DOC>\n<DOCNO>GX-1</DOCNO>\n<DOCHDR>\nhttp://a.example/x\n"
+        "HTTP/1.1 200 OK\nContent-Type: text/html\n</DOCHDR>\n"
+        "<html><body>Alpha page</body></html>\n</DOC>\n"
+        "<DOC>\n<DOCNO>GX-2</DOCNO>\n<DOCHDR>\nhttp://b.example/y\n"
+        "</DOCHDR>\n<html>Beta</html>\n</DOC>\n")
+    rows = {r["title"]: r for r in read_trecweb(spark, str(p)).collect()}
+    assert rows["GX-1"]["url"] == "http://a.example/x"
+    assert rows["GX-1"]["text"] == "<html><body>Alpha page</body></html>"
+    assert rows["GX-2"]["url"] == "http://b.example/y"
+    assert rows["GX-2"]["text"] == "<html>Beta</html>"
+
+
+def test_read_warc(spark, tmp_path):
+    from pisa_spark.sources.readers import read_warc
+
+    def rec(wtype, headers, payload):
+        head = "".join(h + "\r\n" for h in headers)
+        return (f"WARC/1.0\r\nWARC-Type: {wtype}\r\n{head}"
+                f"Content-Length: {len(payload)}\r\n\r\n{payload}")
+
+    p = tmp_path / "coll.warc"
+    p.write_text(
+        rec("warcinfo", [], "software: fake-crawler")
+        + "\r\n\r\n"
+        + rec("response",
+              ["WARC-Target-URI: http://c.example/1",
+               "WARC-TREC-ID: clue-0001",
+               "WARC-Record-ID: <urn:uuid:aaa>"],
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              "<html>Gamma doc</html>")
+        + "\r\n\r\n"
+        + rec("response",
+              ["WARC-Target-URI: http://c.example/2",
+               "WARC-Record-ID: <urn:uuid:bbb>"],
+              "HTTP/1.1 200 OK\r\n\r\n<html>Delta doc</html>")
+        + "\r\n\r\n"
+        + rec("request", ["WARC-Record-ID: <urn:uuid:ccc>"],
+              "GET /1 HTTP/1.1"))
+    rows = sorted(read_warc(spark, str(p)).collect(),
+                  key=lambda r: r["url"])
+    assert len(rows) == 2  # warcinfo + request records dropped
+    assert rows[0]["title"] == "clue-0001"  # TREC id wins over record id
+    assert rows[0]["url"] == "http://c.example/1"
+    assert rows[0]["text"].startswith("HTTP/1.1 200 OK")
+    assert "<html>Gamma doc</html>" in rows[0]["text"]
+    assert rows[1]["title"] == "urn:uuid:bbb"  # record-id fallback
+    # payload's own blank line (HTTP header/body break) stays intact
+    assert "\r\n\r\n<html>Delta doc</html>" in rows[1]["text"]
+
+
+def test_read_wapo(spark, tmp_path):
+    import json as _json
+
+    from pisa_spark.sources.readers import read_wapo
+
+    p = tmp_path / "coll.jl"
+    rec1 = {"id": "wp-1", "article_url": "http://wapo/1", "contents": [
+        {"type": "kicker", "content": "Opinion"},
+        {"type": "title", "content": "Headline here"},
+        {"type": "byline", "content": "By Someone"},
+        {"type": "sanitized_html", "content": "Body paragraph."},
+        {"type": "author_info", "name": "A. Writer", "bio": "Columnist"},
+        {"type": "image", "caption": "A photo", "blurb": "blurbed"},
+        {"type": "date", "content": None}]}
+    rec2 = {"id": "wp-2", "contents": []}
+    p.write_text(_json.dumps(rec1) + "\n" + _json.dumps(rec2) + "\n")
+    rows = {r["title"]: r for r in read_wapo(spark, str(p)).collect()}
+    assert rows["wp-1"]["url"] == "http://wapo/1"
+    t = rows["wp-1"]["text"]
+    # reference order + separators (src/parser.cpp:158-180)
+    assert t == (" Opinion Headline here By Someone Body paragraph."
+                 " A. Writer Columnist A photo blurbed ")
+    assert rows["wp-2"]["url"] == "wp-2" and rows["wp-2"]["text"] == ""
