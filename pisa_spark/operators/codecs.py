@@ -652,14 +652,89 @@ def gamma_decode(buf: bytes) -> np.ndarray:
 
 # ------------------------------------------------------- posting-row codecs
 
-CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic")
+# ------------------------------------------------ OptPFD (patched FOR)
+
+def optpfd_encode(values: np.ndarray) -> bytes:
+    """Patched frame-of-reference (the reference's OptPFD role,
+    codec/optpfor.hpp / the Yan-Ding-Suel OptPFD scheme): every value is
+    packed at a single small bit width b, and the few values that do not
+    fit ("exceptions") store their overflow bits out of band. Unlike the
+    classic heuristic (~90% fit), b is chosen by an EXACT cost scan — for
+    every candidate width the total size (n*b bits + varint-coded
+    exception positions and overflows) is computed from one sorted pass,
+    and the cheapest is taken. Layout:
+    [varint n][1B width b][varint n_exc][packed b-bit lanes]
+    [varint exc position gaps][varint exc overflows]."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return header
+    nbits = _bit_lengths(v)
+    max_b = int(nbits.max())
+    sorted_bits = np.sort(nbits)
+    # exact width choice: for each candidate b, values with bit_length > b
+    # are exceptions costing a ~1-byte position gap varint plus a varint
+    # of their top (bit_length - b) bits; one sorted pass gives the count
+    # and overflow-size suffix sums
+    best_b, best_cost = max_b, None
+    for b in range(max_b + 1):
+        k = int(np.searchsorted(sorted_bits, b, side="right"))
+        n_exc = n - k
+        over_bytes = ((sorted_bits[k:] - b + 6) // 7).sum() if n_exc else 0
+        cost = (n * b + 7) // 8 + int(over_bytes) + n_exc
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    b = best_b
+    mask = np.uint64((1 << b) - 1)
+    low = v & mask
+    exc_pos = np.flatnonzero(nbits > b).astype(np.uint64)
+    over = (v[exc_pos] >> np.uint64(b)).astype(np.uint64)
+    out = [header, bytes([b]),
+           varint_encode(np.array([exc_pos.size], dtype=np.uint64))]
+    if b:
+        lanes = ((low[:, None] >> np.arange(b, dtype=np.uint64))
+                 & np.uint64(1)).astype(np.uint8)
+        out.append(np.packbits(lanes.ravel(), bitorder="little").tobytes())
+    if exc_pos.size:
+        pos_gaps = np.diff(exc_pos.astype(np.int64),
+                           prepend=np.int64(-1)) - 1
+        out.append(varint_encode(pos_gaps.astype(np.uint64)))
+        out.append(varint_encode(over))
+    return b"".join(out)
+
+
+def optpfd_decode(buf: bytes) -> np.ndarray:
+    b_arr = np.frombuffer(buf, dtype=np.uint8)
+    (n,), pos = _read_varints(b_arr, 0, 1)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    width = int(b_arr[pos]); pos += 1
+    (n_exc,), pos = _read_varints(b_arr, pos, 1)
+    if width:
+        lane_bytes = (n * width + 7) // 8
+        bits = np.unpackbits(b_arr[pos:pos + lane_bytes],
+                             bitorder="little")[: n * width]
+        v = (bits.reshape(n, width).astype(np.uint64)
+             << np.arange(width, dtype=np.uint64)).sum(axis=1)
+        pos += lane_bytes
+    else:
+        v = np.zeros(n, dtype=np.uint64)
+    if n_exc:
+        rest = varint_decode(b_arr[pos:].tobytes(), 2 * n_exc)
+        exc_pos = np.cumsum(rest[:n_exc].astype(np.int64) + 1) - 1
+        v[exc_pos] |= rest[n_exc:] << np.uint64(width)
+    return v
+
+
+CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd")
 
 # per-block optimal dispatch: each block is encoded with whichever base
-# codec is smallest and tagged with one byte — the role of the reference's
-# OptPFD family (pick the cheapest representation per block) re-expressed
-# as a dispatch over this engine's base codecs, now including true
-# partitioned EF (which itself sub-partitions the block optimally).
-_OPT_CODECS = ("varint", "ef", "bp128", "pef")
+# codec is smallest and tagged with one byte — the role the reference
+# fills with per-block codec choice, re-expressed as a dispatch over this
+# engine's base codecs: true OptPFD (patched FOR), partitioned EF (which
+# itself sub-partitions the block optimally), plain bitpack, EF, varint.
+_OPT_CODECS = ("varint", "ef", "bp128", "pef", "optpfd")
 
 
 def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
@@ -683,6 +758,9 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "bic":
         rel = (d - base - 1).astype(np.uint64)
         return bic_encode(rel, int(rel[-1]) if rel.size else 0)
+    if codec == "optpfd":
+        gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
+        return optpfd_encode(gaps)
     if codec == "opt":
         best_i, best = min(
             ((i, encode_gap_stream(d, base, c))
@@ -716,6 +794,11 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         if count is not None and rel.size != count:
             raise ValueError("bic stream count mismatch")
         return rel.astype(np.int64) + base + 1
+    if codec == "optpfd":
+        gaps = optpfd_decode(buf).astype(np.int64)
+        if count is not None and gaps.size != count:
+            raise ValueError("optpfd stream count mismatch")
+        return np.cumsum(gaps + 1) + base
     if codec == "opt":
         return decode_gap_stream(buf[1:], base, _OPT_CODECS[buf[0]], count)
     raise ValueError(f"unknown codec {codec!r}")

@@ -77,6 +77,7 @@ def main() -> None:
         "opt_fixed": {"codec": "opt"},
         "pef_fixed": {"codec": "pef"},
         "bic_fixed": {"codec": "bic"},
+        "optpfd_fixed": {"codec": "optpfd"},
         "varint_variable": {"block_partition": "variable"},
         "bp128_variable": {"codec": "bp128", "block_partition": "variable"},
     }

@@ -35,7 +35,7 @@ def test_ef_roundtrip(values):
 
 @given(
     st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True),
-    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic"]),
+    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_gap_stream_roundtrip(docs, codec):
@@ -48,9 +48,37 @@ def test_gap_stream_roundtrip(docs, codec):
 
 def test_gap_stream_base_minus_one():
     docs = np.array([0, 1, 5, 100], dtype=np.int64)
-    for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic"):
+    for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd"):
         buf = encode_gap_stream(docs, -1, codec)
         assert (decode_gap_stream(buf, -1, codec, 4) == docs).all()
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_optpfd_roundtrip(values):
+    from pisa_spark.operators.codecs import optpfd_decode, optpfd_encode
+
+    arr = np.array(values, dtype=np.uint64)
+    out = optpfd_decode(optpfd_encode(arr))
+    assert out.size == arr.size and (out == arr).all()
+
+
+def test_optpfd_patches_outliers():
+    """The defining patched-FOR property (ref codec/optpfor.hpp role):
+    a stream of small values with rare huge outliers packs at the small
+    width and pays per-exception, beating both plain varint and what a
+    single max-width bitpack would cost."""
+    from pisa_spark.operators.codecs import optpfd_encode
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 8, 10_000).astype(np.uint64)
+    v[rng.choice(10_000, 100, replace=False)] = np.uint64(2**30)
+    size = len(optpfd_encode(v))
+    assert size < len(varint_encode(v)) * 0.5
+    assert size < (10_000 * 31 + 7) // 8  # < single-width bitpack
+    # all-zeros: width 0, header-only
+    zeros = np.zeros(1000, dtype=np.uint64)
+    assert len(optpfd_encode(zeros)) < 8
 
 
 def test_opt_dispatch_never_bigger_than_best_base():
