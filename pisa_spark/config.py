@@ -19,7 +19,7 @@ class IndexConfig:
     strip_html: bool = True
     lowercase: bool = True
     stopwords: frozenset[str] = field(default_factory=frozenset)
-    stemmer: str | None = None  # None | "porter2" (gated on a stemmer lib)
+    stemmer: str | None = None  # None | "porter2" | "krovetz"
 
     # --- scoring (reference scorer.hpp:14-22 defaults)
     scorer: str = "bm25"

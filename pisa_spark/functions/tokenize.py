@@ -89,7 +89,16 @@ def make_analyzer(cfg: IndexConfig):
     Mirrors the reference TextAnalyzer composition (src/text_analyzer.cpp:43-53).
     """
     tokenize = _TOKENIZERS[cfg.tokenizer]
-    stem = _porter2() if cfg.stemmer == "porter2" else None
+    if cfg.stemmer == "porter2":
+        stem = _porter2()
+    elif cfg.stemmer == "krovetz":
+        from pisa_spark.functions.kstem import kstem_words
+
+        stem = kstem_words
+    elif cfg.stemmer is None:
+        stem = None
+    else:
+        raise ValueError(f"unknown stemmer {cfg.stemmer!r}")
     stopwords = cfg.stopwords
 
     def analyze(text: str) -> list[str]:

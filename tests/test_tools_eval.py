@@ -66,6 +66,51 @@ def test_analyzer_with_stemmer():
     assert analyze("Running HAPPILY") == ["run", "happili"]
 
 
+def test_krovetz_known_vectors():
+    """Krovetz inflectional semantics (ref src/token_filter.cpp:29-39):
+    unlike Porter2 it only removes plural/-ed/-ing inflection and returns
+    real words ("cities"->"city", not "citi"); derivational suffixes
+    (-ness, -ization, -ly) are kept."""
+    from pisa_spark.functions.kstem import KrovetzStemmer, kstem_words
+
+    cases = {
+        # plural with y/e repair; Porter2 would give "citi"/"fli"
+        "cities": "city", "flies": "fly", "boxes": "box",
+        "churches": "church", "houses": "house", "dogs": "dog",
+        "classes": "class", "queries": "query",
+        # past tense: undoubling, e-restoration, plain drop
+        "dropped": "drop", "hoped": "hope", "opened": "open",
+        "tried": "try", "updated": "update", "normalized": "normalize",
+        # aspect
+        "running": "run", "hoping": "hope", "opening": "open",
+        "falling": "fall", "tokenizing": "tokenize",
+        # irregulars via direct conflation
+        "children": "child", "feet": "foot", "took": "take", "said": "say",
+        # invariants and derivational endings left alone (vs porter2)
+        "news": "news", "ring": "ring", "goodness": "goodness",
+        "quickly": "quickly", "generalization": "generalization",
+        "glass": "glass", "bus": "bus",
+    }
+    for w, want in cases.items():
+        got = kstem_words([w])[0]
+        assert got == want, f"{w}: {got} != {want}"
+    # dictionary probes override the heuristics, as in KStem proper
+    st = KrovetzStemmer({"tie", "die"})
+    assert st.stem("ties") == "tie" and st.stem("died") == "die"
+
+
+def test_analyzer_with_krovetz(spark):
+    from pisa_spark.functions.tokenize import make_analyzer, tokens_batch
+    import pandas as pd
+
+    analyze = make_analyzer(IndexConfig(stemmer="krovetz"))
+    assert analyze("Running dogs opened boxes") == \
+        ["run", "dog", "open", "box"]
+    out = tokens_batch(pd.Series(["cities tried"]),
+                       IndexConfig(stemmer="krovetz"))
+    assert list(out[0]) == ["city", "try"]
+
+
 # --------------------------------------------------------------------- tools
 
 def test_count_postings_matches_lexicon_df(index, queries):
