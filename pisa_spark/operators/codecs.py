@@ -727,7 +727,56 @@ def optpfd_decode(buf: bytes) -> np.ndarray:
     return v
 
 
-CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd")
+# --------------------------------------- StreamVByte-layout group varint
+
+def svb_encode(values: np.ndarray) -> bytes:
+    """Group varint in the StreamVByte layout (Lemire, Kurz & Rupp 2018,
+    "Stream VByte: faster byte-oriented integer compression" — the
+    published scheme behind the reference's SIMD byte-aligned varint
+    family, e.g. codec/simdbp and streamvbyte roles): per-value byte
+    lengths live as 2-bit codes packed four to a control byte, ALL
+    control bytes contiguous, then all data bytes — the split that lets a
+    SIMD decoder process four values per table-driven shuffle, and here
+    lets numpy decode the whole stream in one masked scatter with no
+    stop-bit scan. u32 values only, as in the reference family.
+    Layout: [varint n][ceil(n/4) control bytes][data bytes]."""
+    v = np.asarray(values, dtype=np.uint64)
+    if (v >> np.uint64(32)).any():
+        raise ValueError("svb encodes u32 values only")
+    n = v.size
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return header
+    lens = (np.maximum(_bit_lengths(v), 1) + 7) // 8  # 1..4 bytes each
+    codes = (lens - 1).astype(np.uint8)
+    pad = (-n) % 4
+    cp = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)]).reshape(-1, 4)
+    control = (cp[:, 0] | (cp[:, 1] << 2) | (cp[:, 2] << 4)
+               | (cp[:, 3] << 6)).astype(np.uint8)
+    b4 = v.astype("<u4").view(np.uint8).reshape(n, 4)
+    data = b4[np.arange(4) < lens[:, None]]  # first lens[i] LE bytes, row order
+    return header + control.tobytes() + data.tobytes()
+
+
+def svb_decode(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    (n,), pos = _read_varints(b, 0, 1)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ncb = (n + 3) // 4
+    ctrl = b[pos:pos + ncb]
+    pos += ncb
+    codes = ((ctrl[:, None] >> np.array([0, 2, 4, 6], dtype=np.uint8))
+             & np.uint8(3)).reshape(-1)[:n]
+    lens = codes.astype(np.int64) + 1
+    mask = np.arange(4) < lens[:, None]
+    out4 = np.zeros((n, 4), dtype=np.uint8)
+    out4[mask] = b[pos:pos + int(lens.sum())]
+    return out4.reshape(-1).view("<u4").astype(np.uint64)
+
+
+CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd",
+          "svb")
 
 # per-block optimal dispatch: each block is encoded with whichever base
 # codec is smallest and tagged with one byte — the role the reference
@@ -761,6 +810,9 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "optpfd":
         gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
         return optpfd_encode(gaps)
+    if codec == "svb":
+        gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
+        return svb_encode(gaps)
     if codec == "opt":
         best_i, best = min(
             ((i, encode_gap_stream(d, base, c))
@@ -798,6 +850,11 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         gaps = optpfd_decode(buf).astype(np.int64)
         if count is not None and gaps.size != count:
             raise ValueError("optpfd stream count mismatch")
+        return np.cumsum(gaps + 1) + base
+    if codec == "svb":
+        gaps = svb_decode(buf).astype(np.int64)
+        if count is not None and gaps.size != count:
+            raise ValueError("svb stream count mismatch")
         return np.cumsum(gaps + 1) + base
     if codec == "opt":
         return decode_gap_stream(buf[1:], base, _OPT_CODECS[buf[0]], count)

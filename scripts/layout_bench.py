@@ -78,6 +78,7 @@ def main() -> None:
         "pef_fixed": {"codec": "pef"},
         "bic_fixed": {"codec": "bic"},
         "optpfd_fixed": {"codec": "optpfd"},
+        "svb_fixed": {"codec": "svb"},
         "varint_variable": {"block_partition": "variable"},
         "bp128_variable": {"codec": "bp128", "block_partition": "variable"},
     }

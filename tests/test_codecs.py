@@ -35,7 +35,7 @@ def test_ef_roundtrip(values):
 
 @given(
     st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True),
-    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd"]),
+    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd", "svb"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_gap_stream_roundtrip(docs, codec):
@@ -48,7 +48,7 @@ def test_gap_stream_roundtrip(docs, codec):
 
 def test_gap_stream_base_minus_one():
     docs = np.array([0, 1, 5, 100], dtype=np.int64)
-    for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd"):
+    for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd", "svb"):
         buf = encode_gap_stream(docs, -1, codec)
         assert (decode_gap_stream(buf, -1, codec, 4) == docs).all()
 
@@ -79,6 +79,32 @@ def test_optpfd_patches_outliers():
     # all-zeros: width 0, header-only
     zeros = np.zeros(1000, dtype=np.uint64)
     assert len(optpfd_encode(zeros)) < 8
+
+
+@given(st.lists(st.integers(0, 2**32 - 1), min_size=0, max_size=500))
+@settings(max_examples=60, deadline=None)
+def test_svb_roundtrip(values):
+    from pisa_spark.operators.codecs import svb_decode, svb_encode
+
+    arr = np.array(values, dtype=np.uint64)
+    out = svb_decode(svb_encode(arr))
+    assert out.size == arr.size and (out == arr).all()
+
+
+def test_svb_layout_and_guard():
+    """StreamVByte layout properties: control bytes are exactly
+    ceil(n/4), data bytes are the sum of per-value byte lengths, and
+    values outside u32 are rejected (the reference family is u32)."""
+    from pisa_spark.operators.codecs import svb_encode, varint_encode
+
+    v = np.array([0, 255, 256, 65535, 65536, 2**24, 2**32 - 1],
+                 dtype=np.uint64)
+    buf = svb_encode(v)
+    header = varint_encode(np.array([7], dtype=np.uint64))
+    assert len(buf) == len(header) + 2 + (1 + 1 + 2 + 2 + 3 + 4 + 4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        svb_encode(np.array([2**32], dtype=np.uint64))
 
 
 def test_opt_dispatch_never_bigger_than_best_base():
