@@ -283,6 +283,18 @@ def _q_minhash_lsh(spark, sf_dir):
                              shingle_n=MINHASH_SHINGLE_N)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """MinHash-LSH candidate pairs resolved into duplicate clusters
+    (connected components, cluster_id = min doc_id). The oracle twin is
+    a DuckDB recursive CTE over the identical pair set."""
+    from pisa_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_documents(spark, sf_dir),
+                              n_hashes=N_MINHASH, bands=N_BANDS,
+                              shingle_n=MINHASH_SHINGLE_N)
+    return dedup_clusters(pairs)
+
+
 def _q_minhash_sigs(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -545,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_duplicates,
         "unigram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "minhash_sigs": _q_minhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -958,6 +971,21 @@ bands as ({bands_union})
 select distinct a.doc_id as doc_a, b.doc_id as doc_b
 from bands a join bands b on a.band = b.band and a.bhash = b.bhash
 where a.doc_id < b.doc_id
+""",
+        "dedup_clusters": f"""
+with recursive {_minhash_base_cte()},
+bands as ({bands_union}),
+pairs as (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+          from bands a join bands b on a.band = b.band and a.bhash = b.bhash
+          where a.doc_id < b.doc_id),
+edges as (select doc_a as x, doc_b as y from pairs
+          union all select doc_b, doc_a from pairs),
+lbl(id, l) as (
+    select x, x from edges
+    union
+    select e.x, lbl.l from edges e join lbl on lbl.id = e.y
+)
+select id as doc_id, min(l) as cluster_id from lbl group by id
 """,
         "minhash_sigs": (
             f"with {_minhash_base_cte()} "

@@ -345,3 +345,56 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
                     / (F.col("na") * F.col("nb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------- duplicate clusters (CC)
+
+def dedup_clusters(pairs, left: str = "doc_a", right: str = "doc_b",
+                   max_iters: int = 50):
+    """Resolve candidate duplicate PAIRS into duplicate CLUSTERS.
+
+    Returns (doc_id, cluster_id) for every doc appearing in at least one
+    pair, where cluster_id is the smallest doc_id in the doc's connected
+    component — the canonical-representative convention, so a downstream
+    keep-one pass is `filter(doc_id != cluster_id)` on the dedup side.
+
+    Distributed min-label propagation: labels start as each node's own
+    id; every iteration joins the (cached, static) symmetric edge list
+    against the current labels and takes the per-node minimum of self and
+    neighbor labels — one shuffle per iteration, convergence checked with
+    a changed-row count. Iterations = component eccentricity, which for
+    dedup graphs is a small constant (LSH band collisions build
+    hub-and-spoke components, not long chains); `max_iters` guards the
+    adversarial-chain case, and raising it is always safe. Label lineage
+    is truncated per iteration (localCheckpoint) so Catalyst never
+    re-plans the loop history; the edge list is joined once per
+    iteration, never self-joined (the pattern that blows up size-stats
+    estimation on iterative plans).
+
+    The same closure is ANSI-SQL-expressible as a recursive CTE, which is
+    the DuckDB oracle twin (driver entry `dedup_clusters`).
+    """
+    e = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+                  .withColumn("lbl", F.col("id")).localCheckpoint()
+    try:
+        for _ in range(max_iters):
+            neigh = (edges.join(labels, edges.dst == labels.id)
+                          .groupBy("src").agg(F.min("lbl").alias("nmin")))
+            new_labels = (labels.join(neigh, labels.id == neigh.src, "left")
+                                .select(labels.id,
+                                        F.least("lbl", "nmin").alias("lbl"))
+                          ).localCheckpoint()
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.lbl") < F.col("o.lbl")).count())
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias("doc_id"),
+                             F.col("lbl").alias("cluster_id"))
+    finally:
+        edges.unpersist()

@@ -254,3 +254,35 @@ def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
     assert got == {(2 * i, 2 * i + 1) for i in range(10)}
     # uncapped sees the boilerplate intersection on every pair
     assert len(uncapped) > len(capped)
+
+
+def test_dedup_clusters_vs_union_find(spark):
+    """Connected components via min-label propagation must match a
+    driver-side union-find on the same edge list — including a long
+    chain (worst-case diameter for the propagation loop), a star, an
+    isolated pair, and two components that must NOT merge."""
+    edges = ([(i, i + 1) for i in range(100, 110)]      # 11-node chain
+             + [(7, 3), (7, 5), (7, 9)]                  # star, min inside
+             + [(200, 201)]                              # isolated pair
+             + [(50, 60), (61, 60)])                     # v-shape
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(df).collect()}
+    assert got == expected
+    # canonical-representative convention: cluster_id is a member and min
+    assert all(cid in got and cid <= d for d, cid in got.items())
