@@ -775,8 +775,159 @@ def svb_decode(buf: bytes) -> np.ndarray:
     return out4.reshape(-1).view("<u4").astype(np.uint64)
 
 
+# ------------------------------------------------ Simple8b / Simple16
+
+# Simple8b (Anh & Moffat 2010, "Index compression using 64-bit words" —
+# the reference's codec/simple8b.hpp role): each 64-bit word carries a
+# 4-bit selector + 60 data bits; the selector picks how many equal-width
+# values the word holds.  Selectors 0/1 are the run modes (240/120 zeros,
+# no data bits).  (count, width) per selector:
+_S8B_MODES = ((240, 0), (120, 0), (60, 1), (30, 2), (20, 3), (15, 4),
+              (12, 5), (10, 6), (8, 7), (7, 8), (6, 10), (5, 12),
+              (4, 15), (3, 20), (2, 30), (1, 60))
+
+
+def s8b_encode(values: np.ndarray) -> bytes:
+    """Simple8b word-aligned packing. Greedy longest-fit per word, as
+    published: at each position take the densest selector whose count of
+    next values all fit its width. The per-position best selector is
+    precomputed with vectorized sliding-window maxima; only the word walk
+    itself is a Python loop (O(words), ~n/8 typical).
+    Layout: [varint n][8B LE words...]."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return header
+    nbits = _bit_lengths(v)
+    if int(nbits.max()) > 60:
+        raise ValueError("simple8b encodes values of <= 60 bits")
+    # fit[s][i]: do values[i:i+count_s] all fit in width_s bits?
+    # (windows shorter than count_s at the tail count as fitting — the
+    # last word simply packs fewer real values, zero-padded)
+    fits = []
+    for count, width in _S8B_MODES:
+        if count >= n:
+            fits.append(np.full(n, int(nbits.max()) <= width, dtype=bool))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(nbits, count)
+        wmax = win.max(axis=1)
+        tail = np.maximum.accumulate(nbits[::-1])[::-1][n - count + 1:]
+        fits.append(np.concatenate([wmax, tail]) <= width)
+    fit = np.stack(fits)  # (16, n), selector-major; selector 0 densest
+    best = fit.argmax(axis=0)  # first (densest) fitting selector per pos
+    words = []
+    i = 0
+    while i < n:
+        s = int(best[i])
+        count, width = _S8B_MODES[s]
+        take = min(count, n - i)
+        w = np.uint64(s) << np.uint64(60)
+        if width:
+            chunk = v[i:i + take]
+            shifts = (np.arange(take, dtype=np.uint64) * np.uint64(width))
+            w |= np.bitwise_or.reduce(chunk << shifts) if take else np.uint64(0)
+        words.append(w)
+        i += take
+    return header + np.array(words, dtype="<u8").tobytes()
+
+
+def s8b_decode(buf: bytes) -> np.ndarray:
+    """Vectorized Simple8b decode: words are grouped by selector and each
+    group unpacks in one masked-shift numpy pass; per-word output offsets
+    come from a counts cumsum — no per-value Python."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    (n,), pos = _read_varints(b, 0, 1)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    words = b[pos:].view("<u8").astype(np.uint64)
+    sel = (words >> np.uint64(60)).astype(np.int64)
+    counts = np.array([m[0] for m in _S8B_MODES], dtype=np.int64)[sel]
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.zeros(int(offs[-1]) + int(counts[-1]), dtype=np.uint64)
+    for s in np.unique(sel):
+        count, width = _S8B_MODES[s]
+        idx = np.flatnonzero(sel == s)
+        if width == 0:
+            continue  # run modes decode to zeros
+        shifts = (np.arange(count, dtype=np.uint64) * np.uint64(width))
+        mask = np.uint64((1 << width) - 1)
+        vals = (words[idx][:, None] >> shifts) & mask
+        dst = offs[idx][:, None] + np.arange(count)
+        out[dst.ravel()] = vals.ravel()
+    return out[:n]
+
+
+# Simple16 (Zhang, Long & Suel 2008, WWW — the reference's
+# codec/simple16.hpp role): 32-bit words, 4-bit selector + 28 data bits;
+# unlike Simple8b each selector is a WIDTH PATTERN (mixed widths inside
+# one word), which wastes no pad bits. The 16 published patterns:
+_S16_MODES = tuple(tuple(ws) for ws in (
+    [1] * 28, [2] * 7 + [1] * 14, [1] * 7 + [2] * 7 + [1] * 7,
+    [1] * 14 + [2] * 7, [2] * 14, [4] + [3] * 8, [3] + [4] * 4 + [3] * 3,
+    [4] * 7, [5] * 4 + [4] * 2, [4] * 2 + [5] * 4, [6] * 3 + [5] * 2,
+    [5] * 2 + [6] * 3, [7] * 4, [10] + [9] * 2, [14] * 2, [28],
+))
+_S16_COUNTS = np.array([len(ws) for ws in _S16_MODES], dtype=np.int64)
+_S16_WIDTHS = [np.array(ws, dtype=np.uint64) for ws in _S16_MODES]
+_S16_SHIFTS = [np.concatenate(([0], np.cumsum(ws[:-1]))).astype(np.uint64)
+               for ws in _S16_MODES]
+
+
+def s16_encode(values: np.ndarray) -> bytes:
+    """Simple16 word-aligned packing (greedy longest-fit over the 16
+    width patterns). Values must fit 28 bits — gap streams at posting-
+    block granularity always do; larger inputs raise.
+    Layout: [varint n][4B LE words...]."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return header
+    nbits = _bit_lengths(v)
+    if int(nbits.max()) > 28:
+        raise ValueError("simple16 encodes values of <= 28 bits")
+    words = []
+    i = 0
+    order = np.argsort(-_S16_COUNTS, kind="stable")  # densest first
+    while i < n:
+        for s in order:
+            ws = _S16_MODES[s]
+            take = min(len(ws), n - i)
+            if np.all(nbits[i:i + take] <= _S16_WIDTHS[s][:take]):
+                w = np.uint64(s) << np.uint64(28)
+                chunk = v[i:i + take]
+                w |= np.bitwise_or.reduce(chunk << _S16_SHIFTS[s][:take])
+                words.append(w)
+                i += take
+                break
+        else:  # pragma: no cover — selector 15 (1x28) always fits
+            raise AssertionError("no simple16 selector fits")
+    return header + np.array(words, dtype="<u4").tobytes()
+
+
+def s16_decode(buf: bytes) -> np.ndarray:
+    """Vectorized Simple16 decode, selector-grouped like s8b_decode."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    (n,), pos = _read_varints(b, 0, 1)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    words = b[pos:].view("<u4").astype(np.uint64)
+    sel = (words >> np.uint64(28)).astype(np.int64)
+    counts = _S16_COUNTS[sel]
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.zeros(int(offs[-1]) + int(counts[-1]), dtype=np.uint64)
+    for s in np.unique(sel):
+        idx = np.flatnonzero(sel == s)
+        masks = (np.uint64(1) << _S16_WIDTHS[s]) - np.uint64(1)
+        vals = (words[idx][:, None] >> _S16_SHIFTS[s]) & masks
+        dst = offs[idx][:, None] + np.arange(int(_S16_COUNTS[s]))
+        out[dst.ravel()] = vals.ravel()
+    return out[:n]
+
+
 CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd",
-          "svb")
+          "svb", "s8b", "s16")
 
 # per-block optimal dispatch: each block is encoded with whichever base
 # codec is smallest and tagged with one byte — the role the reference
@@ -813,6 +964,12 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "svb":
         gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
         return svb_encode(gaps)
+    if codec == "s8b":
+        gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
+        return s8b_encode(gaps)
+    if codec == "s16":
+        gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
+        return s16_encode(gaps)
     if codec == "opt":
         best_i, best = min(
             ((i, encode_gap_stream(d, base, c))
@@ -855,6 +1012,12 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         gaps = svb_decode(buf).astype(np.int64)
         if count is not None and gaps.size != count:
             raise ValueError("svb stream count mismatch")
+        return np.cumsum(gaps + 1) + base
+    if codec in ("s8b", "s16"):
+        dec = s8b_decode if codec == "s8b" else s16_decode
+        gaps = dec(buf).astype(np.int64)
+        if count is not None and gaps.size != count:
+            raise ValueError(f"{codec} stream count mismatch")
         return np.cumsum(gaps + 1) + base
     if codec == "opt":
         return decode_gap_stream(buf[1:], base, _OPT_CODECS[buf[0]], count)

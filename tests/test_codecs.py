@@ -35,7 +35,8 @@ def test_ef_roundtrip(values):
 
 @given(
     st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True),
-    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd", "svb"]),
+    st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd",
+     "svb", "s8b", "s16"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_gap_stream_roundtrip(docs, codec):
@@ -48,7 +49,8 @@ def test_gap_stream_roundtrip(docs, codec):
 
 def test_gap_stream_base_minus_one():
     docs = np.array([0, 1, 5, 100], dtype=np.int64)
-    for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd", "svb"):
+    for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic",
+                  "optpfd", "svb", "s8b", "s16"):
         buf = encode_gap_stream(docs, -1, codec)
         assert (decode_gap_stream(buf, -1, codec, 4) == docs).all()
 
@@ -105,6 +107,72 @@ def test_svb_layout_and_guard():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         svb_encode(np.array([2**32], dtype=np.uint64))
+
+
+@given(st.lists(st.integers(0, 2**60 - 1), min_size=0, max_size=500))
+@settings(max_examples=60, deadline=None)
+def test_s8b_roundtrip(values):
+    from pisa_spark.operators.codecs import s8b_decode, s8b_encode
+
+    arr = np.array(values, dtype=np.uint64)
+    out = s8b_decode(s8b_encode(arr))
+    assert out.size == arr.size and (out == arr).all()
+
+
+@given(st.lists(st.integers(0, 2**28 - 1), min_size=0, max_size=500))
+@settings(max_examples=60, deadline=None)
+def test_s16_roundtrip(values):
+    from pisa_spark.operators.codecs import s16_decode, s16_encode
+
+    arr = np.array(values, dtype=np.uint64)
+    out = s16_decode(s16_encode(arr))
+    assert out.size == arr.size and (out == arr).all()
+
+
+def test_s8b_run_modes_and_guard():
+    """Simple8b properties from the published scheme: a run of 240 zeros
+    packs into ONE 64-bit word (selector 0), 60 one-bit values pack into
+    one word, and values above 60 bits are rejected."""
+    from pisa_spark.operators.codecs import s8b_decode, s8b_encode
+
+    zeros = np.zeros(240, dtype=np.uint64)
+    buf = s8b_encode(zeros)
+    assert len(buf) == 2 + 8  # varint(240) + one word
+    assert (s8b_decode(buf) == zeros).all()
+    ones = np.ones(60, dtype=np.uint64)
+    buf = s8b_encode(ones)
+    assert len(buf) == 1 + 8
+    assert (s8b_decode(buf) == ones).all()
+    with pytest.raises(ValueError):
+        s8b_encode(np.array([2**60], dtype=np.uint64))
+
+
+def test_s16_patterns_and_guard():
+    """Simple16 properties: 28 one-bit values pack into ONE 32-bit word
+    (pattern 0), mixed widths pick a mixed pattern without falling back to
+    28-bit singles, and values above 28 bits are rejected."""
+    from pisa_spark.operators.codecs import s16_decode, s16_encode
+
+    ones = np.ones(28, dtype=np.uint64)
+    buf = s16_encode(ones)
+    assert len(buf) == 1 + 4  # varint(28) + one word
+    assert (s16_decode(buf) == ones).all()
+    # 7 values of <=4 bits: pattern 7 (4x7) + remainder, never 7 words
+    v = np.array([15, 1, 7, 3, 12, 9, 2], dtype=np.uint64)
+    assert len(s16_encode(v)) <= 1 + 2 * 4
+    with pytest.raises(ValueError):
+        s16_encode(np.array([2**28], dtype=np.uint64))
+
+
+def test_s8b_denser_than_varint_on_small_gaps():
+    """The word-aligned family's reason to exist: on small-gap streams it
+    beats byte-aligned varint (which floors at 1 byte/value)."""
+    from pisa_spark.operators.codecs import s8b_encode, s16_encode
+
+    rng = np.random.default_rng(11)
+    gaps = rng.integers(0, 8, 1000).astype(np.uint64)  # 3-bit values
+    assert len(s8b_encode(gaps)) < 1000  # varint would be ~1002
+    assert len(s16_encode(gaps)) < 1000
 
 
 def test_opt_dispatch_never_bigger_than_best_base():

@@ -185,6 +185,8 @@ def test_batch_executor_identity(index, queries):
 @pytest.mark.parametrize("variant", [
     {"codec": "bp128"},
     {"codec": "opt"},
+    {"codec": "s8b"},
+    {"codec": "s16"},
     {"block_partition": "variable"},
     {"codec": "bp128", "block_partition": "variable"},
 ])
