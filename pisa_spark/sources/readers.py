@@ -18,6 +18,39 @@ engine's url-keyed corpus shape.
 
 from __future__ import annotations
 
+WEB_PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def load_web_pages(spark, source: str, langs: list[str] | None = None,
+                   columns: tuple[str, ...] = WEB_PAGES_COLUMNS):
+    """Load the engine's primary input — the Iceberg table of
+    Common-Crawl-style web pages (url string, warc_ts timestamp,
+    html binary, text string, lang string) — from a catalog table name
+    or a parquet path.
+
+    `source` containing a path separator (or `.parquet`) reads parquet;
+    anything else resolves through the session catalog
+    (`spark.read.table`), which is how an Iceberg table is addressed once
+    its catalog is configured on the cluster (spark.sql.catalog.* confs —
+    no engine-side code depends on the format). Either way the result is
+    a plain DataFrame scan: the `columns` projection prunes the scan to
+    the needed columns and a `langs` filter is a pushable predicate, so
+    Iceberg/parquet do partition pruning + row-group skipping before any
+    engine operator runs.
+    """
+    if "/" in source or source.endswith(".parquet"):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    missing = [c for c in ("url",) if c not in df.columns]
+    if missing or not ({"html", "text"} & set(df.columns)):
+        raise ValueError(
+            f"{source}: need url plus html or text; has {df.columns}")
+    df = df.select(*[c for c in columns if c in df.columns])
+    if langs is not None and "lang" in df.columns:
+        df = df.filter(df.lang.isin(list(langs)))
+    return df
+
 
 def read_plaintext(spark, path: str):
     """One document per line: `title content...` (src/parser.cpp:69-79,

@@ -59,6 +59,42 @@ def test_taily_shard_stats_and_select(spark, index):
         assert all(r["mass"] > 0 for r in rows)
 
 
+def test_load_web_pages(spark, tmp_path):
+    """The primary-input loader resolves parquet paths AND catalog table
+    names onto the same validated (url, warc_ts, html, text, lang)
+    scan, prunes columns, and pushes the lang filter."""
+    from pisa_spark.sources import webtext
+    from pisa_spark.sources.readers import load_web_pages
+
+    pages = webtext.generate(spark, 120, seed=5)
+    p = str(tmp_path / "web_pages.parquet")
+    pages.write.parquet(p)
+
+    via_path = load_web_pages(spark, p)
+    assert via_path.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert via_path.count() == 120
+
+    pages.createOrReplaceTempView("web_pages_t")
+    via_table = load_web_pages(spark, "web_pages_t")
+    assert via_table.count() == 120
+
+    en_only = load_web_pages(spark, p, langs=["en"])
+    n_en = pages.filter("lang = 'en'").count()
+    assert en_only.count() == n_en < 120
+
+    # lang filter reaches the parquet scan (pushed, not post-filtered)
+    plan = en_only._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan
+
+    pruned = load_web_pages(spark, p, columns=("url", "text"))
+    assert pruned.columns == ["url", "text"]
+
+    bad = pages.select("warc_ts", "lang")
+    bad.write.parquet(str(tmp_path / "bad.parquet"))
+    with pytest.raises(ValueError, match="need url"):
+        load_web_pages(spark, str(tmp_path / "bad.parquet"))
+
+
 def test_read_plaintext(spark, tmp_path):
     p = tmp_path / "docs.txt"
     p.write_text("D1 hello world\nD2 spark index\nD3\n")
