@@ -80,7 +80,14 @@ class BuildManifest:
         w.parquet(path)
         if pre_mark is not None:
             pre_mark()
-        self.mark(name, seconds=round(time.time() - t0, 3))
+        nbytes = nfiles = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    nbytes += os.path.getsize(os.path.join(root, fn))
+                    nfiles += 1
+        self.mark(name, seconds=round(time.time() - t0, 3),
+                  bytes=nbytes, files=nfiles)
 
     def read_df(self, spark, name: str):
         path = self.artifact_path(name)

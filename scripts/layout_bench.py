@@ -79,6 +79,8 @@ def main() -> None:
         "bic_fixed": {"codec": "bic"},
         "optpfd_fixed": {"codec": "optpfd"},
         "svb_fixed": {"codec": "svb"},
+        "s8b_fixed": {"codec": "s8b"},
+        "s16_fixed": {"codec": "s16"},
         "varint_variable": {"block_partition": "variable"},
         "bp128_variable": {"codec": "bp128", "block_partition": "variable"},
     }

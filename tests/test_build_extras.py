@@ -102,6 +102,13 @@ def test_checkpoint_resume_skips_completed(spark):
     assert m3["completed"]["postings/bucket=0"]["ts"] == m1["completed"]["postings/bucket=0"]["ts"]
     assert m3["completed"]["postings/bucket=2"]["ts"] != m1["completed"]["postings/bucket=2"]["ts"]
     assert idx.postings.count() > 0
+    # per-artifact metrics: every completed entry carries write seconds +
+    # on-disk size (north rule: per-partition lineage + metrics)
+    for name, meta in m3["completed"].items():
+        assert meta["seconds"] >= 0 and meta["files"] >= 1, name
+        assert meta["bytes"] > 0, name
+    assert m3["metrics"]["num_docs"] == idx.stats["num_docs"] > 0
+    assert m3["metrics"]["build_seconds"] > 0
 
 
 def test_checkpoint_single_job_mode_matches_inmem(spark):

@@ -64,3 +64,58 @@ def test_corpus_extraction_byte_identical():
 def test_broken_page_in_corpus_extracts_empty():
     pdf = generate_pandas(100, seed=13)
     assert (pdf["text"] == "").any()
+
+
+# ---- fast scanner == DOM-oracle equivalence (strip_html is the linear
+# scanner; strip_html_dom is the html.parser implementation of the same
+# reference semantics, kept as the oracle)
+
+_ADVERSARIAL = [
+    "", "<", ">", "</>", "</ p >", "< notatag", "x<y", "5 < 6 > 3",
+    "<em", "<a b='un", '<a b="unterminated<p>more</p>',
+    "<a =b>", "<a 'x'>", "<123>", "<!>", "<!x>", "<!DOCTYPE", "<![",
+    "<![CDATA[ x > y ]]>", "<![CDATA[", "<![if x]> y <![endif]>",
+    "<![bogus z]>", "<?php echo '>' ?>", "<?", "<!--", "-->",
+    "<!-- a -- >x", "<script>var x='</p>';</script>tail",
+    "<script src='x'/>text", "<script>never closed",
+    "<sCrIpT>x</ScRiPt>y", "</ script >", "<style>a{}</style>b",
+    '<a href="y>z">w</a>', "<a b=c>", "<br/>", "a&amp;b", "&bogus;",
+    "&nbsp;", "&#65;", "&", "a & b", "\x00", "  \t\n ",
+]
+
+
+def test_fast_scanner_equals_dom_on_vectors():
+    from pisa_spark.functions.text import strip_html_dom
+
+    for doc in _ADVERSARIAL:
+        assert strip_html(doc) == strip_html_dom(doc), repr(doc)
+    # and on concatenated pairs (boundary interactions)
+    for a in _ADVERSARIAL[:20]:
+        for b in _ADVERSARIAL[:20]:
+            assert strip_html(a + b) == strip_html_dom(a + b), repr(a + b)
+
+
+def test_fast_scanner_equals_dom_fuzz():
+    import random
+
+    from pisa_spark.functions.text import strip_html_dom
+
+    random.seed(1234)
+    for _ in range(4000):
+        doc = "".join(random.choice(_ADVERSARIAL)
+                      for _ in range(random.randint(1, 10)))
+        assert strip_html(doc) == strip_html_dom(doc), repr(doc)
+    alpha = list("<>!?/abA='\"& ;#-[]x\t\n\x00stylecriptCDATA")
+    for _ in range(4000):
+        doc = "".join(random.choice(alpha)
+                      for _ in range(random.randint(0, 60)))
+        assert strip_html(doc) == strip_html_dom(doc), repr(doc)
+
+
+def test_fast_scanner_equals_dom_on_corpus():
+    from pisa_spark.functions.text import strip_html_dom
+
+    pdf = generate_pandas(300, seed=99)
+    for b in pdf["html"]:
+        h = bytes(b).decode("utf-8", "replace")
+        assert strip_html(h) == strip_html_dom(h)
