@@ -182,6 +182,51 @@ def test_batch_executor_identity(index, queries):
         assert a == b, alg
 
 
+def test_serve_path_decline_and_eviction(index, queries, monkeypatch):
+    """The serve plan must (a) decline and fall back to the distributed
+    join plan when the index exceeds its driver-memory bounds, and (b)
+    return identical rankings under a tiny posting-cache budget that
+    forces FIFO eviction between calls."""
+    from pisa_spark.operators import topk as T
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, round(float(r.score), 6))
+                      for r in rows)
+
+    baseline = key(T.topk_search(index, queries, k=K,
+                                 algorithm="block_max_wand",
+                                 with_urls=False).collect())
+    # (a) bounds exceeded -> serve declines, distributed plan answers
+    monkeypatch.setattr(T, "SERVE_MAX_DOCS", 0)
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
+    declined = key(T.topk_search(index, queries, k=K,
+                                 algorithm="block_max_wand",
+                                 with_urls=False).collect())
+    assert declined == baseline
+    monkeypatch.undo()
+    # (b) tiny cache budget: alternating term sets force FIFO eviction of
+    # the other set's terms on every call; rankings must not change
+    qa, qb = queries[: len(queries) // 2], queries[len(queries) // 2:]
+    base_a = key(T.topk_search(index, qa, k=K, algorithm="block_max_wand",
+                               with_urls=False).collect())
+    base_b = key(T.topk_search(index, qb, k=K, algorithm="block_max_wand",
+                               with_urls=False).collect())
+    monkeypatch.setattr(T, "SERVE_CACHE_MAX_POSTINGS", 1)
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
+    for _ in range(2):
+        got_a = key(T.topk_search(index, qa, k=K,
+                                  algorithm="block_max_wand",
+                                  with_urls=False).collect())
+        got_b = key(T.topk_search(index, qb, k=K,
+                                  algorithm="block_max_wand",
+                                  with_urls=False).collect())
+        assert got_a == base_a and got_b == base_b
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
+
+
 @pytest.mark.parametrize("variant", [
     {"codec": "bp128"},
     {"codec": "opt"},
