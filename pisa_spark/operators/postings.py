@@ -196,7 +196,15 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
     prev = np.empty_like(docs)
     prev[1:] = docs[:-1]
     prev[starts] = base[starts]
-    gaps = (docs - prev - 1).astype(np.uint64)
+    gaps_signed = docs - prev - 1
+    if gaps_signed.size and int(gaps_signed.min()) < 0:
+        # a negative gap would wrap silently in the uint64 cast and
+        # corrupt the index: the input was mis-sorted, or a shard's rows
+        # were split across partitions (shuffle-free encode invariant)
+        raise ValueError(
+            "posting docs not strictly increasing within a (shard, term) "
+            "run — mis-sorted input or shard split across partitions")
+    gaps = gaps_signed.astype(np.uint64)
 
     if scorer.separable:
         part = scorer.doc_part(tfs, doc_len, stats["avg_len"])
@@ -548,7 +556,8 @@ def encode_postings_docwise(doc_terms, vocab: dict, cfg: IndexConfig,
 
 def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
                                 num_partitions: int | None = None,
-                                shard_stride: int = 1):
+                                shard_stride: int = 1,
+                                bucket_starts: list[int] | None = None):
     """Doc-wise encode WITHOUT a vocabulary: emits string-keyed encoded
     rows (ENCODED_STR_SCHEMA). Terms are dictionary-encoded batch-locally
     (Arrow C kernel), groups keyed on the local codes, and the term string
@@ -566,7 +575,21 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
     shard_stride-th shard (the manifest build's bucket resume), shard ids
     share a common stride and the round-robin placement key must be the
     shard's RANK within the bucket (shard_id // stride) — keying on the
-    raw id would land all work on parts/gcd(stride, parts) partitions."""
+    raw id would land all work on parts/gcd(stride, parts) partitions.
+
+    bucket_starts: the global doc_id at which each docID-assignment
+    bucket begins (plans/build.py assign_rank_ids meta). When given, the
+    encode runs SHUFFLE-FREE: the rank shuffle already left every bucket
+    whole on one partition with doc_ids ascending in partition order, so
+    every shard that does not straddle a bucket boundary is encoded by a
+    narrow mapInArrow over doc_terms as-is — the (shard)-keyed
+    repartition of the full token mass (the build's second-largest
+    shuffle) disappears. Only the <= n_buckets shards that straddle a
+    non-span-aligned bucket boundary are routed through the exploded
+    (shard, term)-shuffled path, then repartitioned by shard so the
+    colocation invariant (one shard -> one partition) still holds for
+    the union. At cluster scale the straddle mass is n_buckets x span
+    docs — vanishing against the corpus."""
     from pyspark.sql import functions as F
 
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
@@ -579,16 +602,9 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
     from pisa_spark.operators.partitioning import (partition_values,
                                                    round_robin_expr)
 
-    vals = partition_values(spark, parts)
-    place_key = (F.col("shard_id") / F.lit(shard_stride)).cast("long") \
-        if shard_stride > 1 else F.col("shard_id")
-    arranged = (
-        doc_terms.select(
-            (F.col("doc_id") / F.lit(span)).cast("long").alias("shard_id"),
-            "doc_id", "doc_len", "terms", "tfs")
-        .repartition(parts, round_robin_expr(place_key, parts, vals))
-        .sortWithinPartitions("shard_id", "doc_id")
-    )
+    base_cols = doc_terms.select(
+        (F.col("doc_id") / F.lit(span)).cast("long").alias("shard_id"),
+        "doc_id", "doc_len", "terms", "tfs")
 
     def encode_shards(rb: pa.RecordBatch) -> pa.RecordBatch:
         import pyarrow.compute as pc
@@ -635,6 +651,34 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
         if carry is not None and carry.num_rows:
             yield encode_shards(carry)
 
+    if bucket_starts is not None and shard_stride == 1:
+        # ---- shuffle-free plan (see docstring)
+        straddle = sorted({s // span for s in bucket_starts if s % span})
+        interior = (base_cols.filter(~F.col("shard_id").isin(straddle))
+                    if straddle else base_cols)
+        encoded = interior.mapInArrow(run, schema=ENCODED_STR_SCHEMA)
+        if straddle:
+            shard_of = (F.col("doc_id") / F.lit(span)).cast("long")
+            flat = (
+                doc_terms.filter(shard_of.isin(straddle))
+                .select("doc_id", "doc_len",
+                        F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
+                .select("doc_id", "doc_len",
+                        F.col("z.terms").alias("term"),
+                        F.col("z.tfs").cast("long").alias("tf")))
+            boundary = encode_postings_str(flat, cfg, stats).repartition(
+                max(1, min(parts, len(straddle))), "shard_id")
+            encoded = encoded.unionByName(boundary)
+        return encoded
+
+    vals = partition_values(spark, parts)
+    place_key = (F.col("shard_id") / F.lit(shard_stride)).cast("long") \
+        if shard_stride > 1 else F.col("shard_id")
+    arranged = (
+        base_cols
+        .repartition(parts, round_robin_expr(place_key, parts, vals))
+        .sortWithinPartitions("shard_id", "doc_id")
+    )
     return arranged.mapInArrow(run, schema=ENCODED_STR_SCHEMA)
 
 

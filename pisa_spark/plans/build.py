@@ -530,6 +530,9 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     # and silently orphan already-marked postings buckets).
     _mark_gate = None
     _join_writes = None
+    bucket_starts = None  # per-bucket doc_id starts; enables the
+    # shuffle-free docwise encode (lost on parquet resume, where
+    # doc_terms' physical partitioning is file splits, not buckets)
     if manifest and manifest.done("doc_terms"):
         doc_terms = manifest.read_df(spark, "doc_terms")
         stats = manifest.state["stats"]
@@ -555,6 +558,10 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         _phase("tokenize_rank")
         num_docs = sum(int(r["_n"]) for r in meta)
         collection_len = sum(int(r["_dl"] or 0) for r in meta)
+        bucket_starts, _acc = [], 0
+        for r in meta:  # sorted by _pid == doc_id order
+            bucket_starts.append(_acc)
+            _acc += int(r["_n"])
         stats = {
             "num_docs": num_docs,
             "collection_len": collection_len,
@@ -888,9 +895,12 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                                                    encode_postings_str)
 
         if cfg.shard_span * max(stats["avg_len"], 1.0) <= cfg.docwise_max_tokens:
-            # doc-wise: shuffles the compact per-doc token rows by shard
-            # (~avg_len x less data than the exploded rows)
-            enc_str = encode_postings_docwise_str(doc_terms, cfg, stats)
+            # doc-wise on the in-memory lineage: bucket_starts (from the
+            # rank-assignment meta) makes this encode SHUFFLE-FREE — the
+            # rank shuffle's bucket partitioning is reused, and only
+            # bucket-boundary-straddling shards take the shuffled path
+            enc_str = encode_postings_docwise_str(
+                doc_terms, cfg, stats, bucket_starts=bucket_starts)
             colocated = True
         else:
             # shard token mass exceeds the docwise working-set bound:

@@ -246,3 +246,46 @@ def test_bp_checkpoint_resume_and_clustered_win(spark, tmp_path):
     bp_idx = reorder_index(idx, spark.createDataFrame(
         m1, "doc_id long, new_doc_id long"), cfg)
     assert compressed_size(bp_idx) < compressed_size(idx)
+
+
+def test_shuffle_free_encode_identical_to_shuffled(spark):
+    """The bucket-aligned (shuffle-free) docwise encode must produce
+    byte-identical encoded rows to the (shard)-repartitioned plan, with
+    both interior and bucket-straddling shards present."""
+    import pisa_spark.operators.postings as P
+    import pisa_spark.plans.build as B
+    from pisa_spark.sources import webtext
+
+    docs = webtext.generate(spark, 1200, seed=11)
+    cfg = IndexConfig(shard_span=32)
+    seen = {}
+    orig = P.encode_postings_docwise_str
+
+    def spy(*a, **kw):
+        seen["starts"] = kw.get("bucket_starts")
+        return orig(*a, **kw)
+
+    P.encode_postings_docwise_str = spy
+    try:
+        idx_new = B.build_index(docs, cfg, html_col="html")
+        rows_new = sorted(map(tuple,
+                              idx_new.postings.drop("term_id").collect()))
+    finally:
+        P.encode_postings_docwise_str = orig
+    starts = seen["starts"]
+    assert starts is not None and len(starts) > 1
+    straddle = {s // 32 for s in starts if s % 32}
+    assert straddle, "corpus must exercise bucket-straddling shards"
+
+    def legacy(*a, **kw):
+        kw["bucket_starts"] = None
+        return orig(*a, **kw)
+
+    P.encode_postings_docwise_str = legacy
+    try:
+        idx_old = B.build_index(docs, cfg, html_col="html")
+        rows_old = sorted(map(tuple,
+                              idx_old.postings.drop("term_id").collect()))
+    finally:
+        P.encode_postings_docwise_str = orig
+    assert rows_new == rows_old and rows_new
