@@ -652,8 +652,15 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
             yield encode_shards(carry)
 
     if bucket_starts is not None and shard_stride == 1:
-        # ---- shuffle-free plan (see docstring)
         straddle = sorted({s // span for s in bucket_starts if s % span})
+        # the straddle mass routes through the exploded encode — when
+        # buckets are not much larger than shards (small corpus / many
+        # cores) that is most of the corpus and costs more than the
+        # repartition it avoids; gate on the straddle doc mass
+        if len(straddle) * span * 4 > max(1, stats.get("num_docs", 0)):
+            bucket_starts = None
+    if bucket_starts is not None and shard_stride == 1:
+        # ---- shuffle-free plan (see docstring)
         interior = (base_cols.filter(~F.col("shard_id").isin(straddle))
                     if straddle else base_cols)
         encoded = interior.mapInArrow(run, schema=ENCODED_STR_SCHEMA)

@@ -256,13 +256,15 @@ def test_shuffle_free_encode_identical_to_shuffled(spark):
     import pisa_spark.plans.build as B
     from pisa_spark.sources import webtext
 
-    docs = webtext.generate(spark, 1200, seed=11)
-    cfg = IndexConfig(shard_span=32)
+    docs = webtext.generate(spark, 4000, seed=11)
+    span = 16
+    cfg = IndexConfig(shard_span=span)
     seen = {}
     orig = P.encode_postings_docwise_str
 
     def spy(*a, **kw):
         seen["starts"] = kw.get("bucket_starts")
+        seen["num_docs"] = a[2].get("num_docs") if len(a) > 2 else None
         return orig(*a, **kw)
 
     P.encode_postings_docwise_str = spy
@@ -274,8 +276,11 @@ def test_shuffle_free_encode_identical_to_shuffled(spark):
         P.encode_postings_docwise_str = orig
     starts = seen["starts"]
     assert starts is not None and len(starts) > 1
-    straddle = {s // 32 for s in starts if s % 32}
+    straddle = {s // span for s in starts if s % span}
     assert straddle, "corpus must exercise bucket-straddling shards"
+    # the straddle-mass gate must NOT have tripped, or this test would
+    # vacuously compare the classic path against itself
+    assert len(straddle) * span * 4 <= seen["num_docs"]
 
     def legacy(*a, **kw):
         kw["bucket_starts"] = None
