@@ -191,50 +191,62 @@ def _q_bm25_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _q_bm25_topk_bmw(spark, sf_dir):
-    """Block-Max-WAND over the f32 index, oracled against the f32-faithful
-    BM25 SQL (_bm25_f32_rank_sql) on (qid, doc_id, rank): the pruned kernel
-    is rank-identical to the exhaustive executor by construction (strict
-    bound < theta skips + canonical rescoring; pytest rank-identity, ref
-    test/test_ranked_queries.cpp:119-168 pins the same pruned ≡ exhaustive
-    contract), and the driver hash verifies the full f32 ranking against
-    an independent engine's float32 arithmetic."""
+def _score_bits_select(res):
+    """(qid, doc_id, rank, score_bits) projection for the pruned-executor
+    oracle entries: score_bits is the kernel's float32 score as its raw
+    IEEE-754 bit pattern (numpy view), so the driver hash pins the exact
+    f32 score surface — not just ranks — against the DuckDB twin
+    (ref test/test_ranked_queries.cpp:158-161 compares scores)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
+    _bits = F.pandas_udf(
+        lambda s: pd.Series(
+            s.to_numpy(dtype=np.float32).view(np.int32).astype(np.int64)),
+        "long")
+
+    return _with_orig_doc_id(res).select(
+        "qid", "doc_id", F.col("rank").cast("long").alias("rank"),
+        _bits(F.col("score").cast("float")).alias("score_bits"))
+
+
+def _q_bm25_topk_bmw(spark, sf_dir):
+    """Block-Max-WAND over the f32 index, oracled against the f32-faithful
+    BM25 SQL (_bm25_f32_rank_sql) on (qid, doc_id, rank, score_bits): the
+    pruned kernel is rank-identical to the exhaustive executor by
+    construction (strict bound < theta skips + canonical rescoring; pytest
+    rank-identity, ref test/test_ranked_queries.cpp:119-168 pins the same
+    pruned ≡ exhaustive contract), and the driver hash verifies the full
+    f32 ranking AND the f32 scores themselves against an independent
+    engine's float32 arithmetic."""
     from pisa_spark.operators.topk import topk_search
 
     idx = _get_index(spark, sf_dir)
-    res = topk_search(idx, QUERY_SET, k=10, algorithm="block_max_wand")
-    return _with_orig_doc_id(res).select(
-        "qid", "doc_id", F.col("rank").cast("long").alias("rank"))
+    return _score_bits_select(
+        topk_search(idx, QUERY_SET, k=10, algorithm="block_max_wand"))
 
 
 def _q_bm25_topk_maxscore(spark, sf_dir):
     """MaxScore over the f32 index — same oracle contract as
-    _q_bm25_topk_bmw (pruned ≡ exhaustive, rank-compared)."""
-    from pyspark.sql import functions as F
-
+    _q_bm25_topk_bmw (pruned ≡ exhaustive, rank+score_bits-compared)."""
     from pisa_spark.operators.topk import topk_search
 
     idx = _get_index(spark, sf_dir)
-    res = topk_search(idx, QUERY_SET, k=10, algorithm="maxscore")
-    return _with_orig_doc_id(res).select(
-        "qid", "doc_id", F.col("rank").cast("long").alias("rank"))
+    return _score_bits_select(
+        topk_search(idx, QUERY_SET, k=10, algorithm="maxscore"))
 
 
 def _q_bm25_topk_batch(spark, sf_dir):
     """Shard-partitioned batch executor (queries broadcast, one kernel pass
     per shard for the whole query set) — same oracle contract as
     _q_bm25_topk_bmw (identical kernels, batch physical plan)."""
-    from pyspark.sql import functions as F
-
     from pisa_spark.operators.topk import topk_search_batch
 
     idx = _get_index(spark, sf_dir)
-    res = topk_search_batch(idx, QUERY_SET, k=10,
-                            algorithm="block_max_wand", with_urls=True)
-    return _with_orig_doc_id(res).select(
-        "qid", "doc_id", F.col("rank").cast("long").alias("rank"))
+    return _score_bits_select(
+        topk_search_batch(idx, QUERY_SET, k=10,
+                          algorithm="block_max_wand", with_urls=True))
 
 
 def _q_boolean_and(spark, sf_dir):
@@ -675,7 +687,16 @@ def _bm25_f32_rank_sql(qv: str) -> str:
     replicate the engine's arithmetic: idf and doc_part in f32 with the
     same expression grouping, contributions summed in ascending term order
     (list_reduce fold = the kernel's canonical left-to-right f32
-    accumulation), ranking on the exact f32 totals with doc-asc ties."""
+    accumulation), ranking on the exact f32 totals with doc-asc ties.
+
+    score_bits carries the f32 score's IEEE-754 bit pattern (sign-exponent-
+    mantissa as a BIGINT), extracted arithmetically (exponent via corrected
+    floor(log2), mantissa via exact power-of-two division in double — both
+    exact for any positive normal f32; validated bit-for-bit against
+    numpy.view(int32) on randomized corpora). This closes the last
+    rank-only surface: the driver hash now pins the pruned executors'
+    SCORES against DuckDB's independent float32 arithmetic, matching the
+    reference's score-comparing tests (test_ranked_queries.cpp:158-161)."""
     r = "cast({} as real)".format
     half, one, k1, b, eps = (r("0.5"), r("1"), r("0.9"), r("0.4"), r("1e-6"))
     idf = (f"cast(greatest({eps}, cast(ln(cast("
@@ -700,11 +721,21 @@ contrib as (
 scored as (
   select qid, doc_id,
          list_reduce(list(c order by term), (a, b) -> a + b) as score
-  from contrib group by qid, doc_id)
-select qid, doc_id, rank from (
-  select *, row_number() over (partition by qid
+  from contrib group by qid, doc_id),
+ranked as (
+  select qid, doc_id, score, row_number() over (partition by qid
                                order by score desc, doc_id) as rank
-  from scored where score > 0) where rank <= 10
+  from scored where score > 0)
+select qid, doc_id, rank,
+  ((ec + 127)::bigint << 23)
+    | cast(round((score::double / power(2.0::double, ec) - 1) * 8388608)
+           as bigint) as score_bits
+from (
+  select *, case when score::double >= power(2.0::double, e0 + 1) then e0 + 1
+                 when score::double <  power(2.0::double, e0)     then e0 - 1
+                 else e0 end as ec
+  from (select *, cast(floor(log2(score::double)) as int) as e0
+        from ranked where rank <= 10))
 """
 
 

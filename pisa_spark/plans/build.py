@@ -30,6 +30,7 @@ All stages optionally checkpoint through a BuildManifest for resume.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -922,8 +923,21 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         # web-scale vocabulary, (c) fetches the vocabulary AND its WAND
         # term stats when small — the lexicon is then assembled driver-side
         # (Arrow), removing the separate lexicon_meta scan over the cache.
-        agg_pdf = _term_agg_of(enc_str).limit(
-            cfg.lexicon_broadcast_max + 1).toPandas()
+        if os.environ.get("PISA_PROFILE_ENCODE"):
+            # diagnostic split of the fused job (scaling-ladder forensics):
+            # materialize the cache alone, then agg the cached rows alone
+            bd = stats.setdefault("encode_breakdown", {})
+            _t = time.time()
+            bd["enc_rows"] = enc_str.count()
+            bd["materialize_s"] = round(time.time() - _t, 3)
+            bd["enc_parts"] = enc_str.rdd.getNumPartitions()
+            _t = time.time()
+            agg_pdf = _term_agg_of(enc_str).limit(
+                cfg.lexicon_broadcast_max + 1).toPandas()
+            bd["term_agg_s"] = round(time.time() - _t, 3)
+        else:
+            agg_pdf = _term_agg_of(enc_str).limit(
+                cfg.lexicon_broadcast_max + 1).toPandas()
         _phase("encode_postings")
         if len(agg_pdf) <= cfg.lexicon_broadcast_max:
             # persist + materialize the driver-built lexicon: left as a
