@@ -653,11 +653,10 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
 
     if bucket_starts is not None and shard_stride == 1:
         straddle = sorted({s // span for s in bucket_starts if s % span})
-        # the straddle mass routes through the exploded encode — when
-        # buckets are not much larger than shards (small corpus / many
-        # cores) that is most of the corpus and costs more than the
-        # repartition it avoids; gate on the straddle doc mass
-        if len(straddle) * span * 4 > max(1, stats.get("num_docs", 0)):
+        # straddle shards shuffle as COMPACT doc rows (token arrays intact,
+        # same narrow kernel) — only if most of the corpus straddles is the
+        # one classic full repartition cheaper than the two-branch plan
+        if len(straddle) * span * 2 > max(1, stats.get("num_docs", 0)):
             bucket_starts = None
     if bucket_starts is not None and shard_stride == 1:
         # ---- shuffle-free plan (see docstring)
@@ -665,16 +664,22 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
                     if straddle else base_cols)
         encoded = interior.mapInArrow(run, schema=ENCODED_STR_SCHEMA)
         if straddle:
-            shard_of = (F.col("doc_id") / F.lit(span)).cast("long")
-            flat = (
-                doc_terms.filter(shard_of.isin(straddle))
-                .select("doc_id", "doc_len",
-                        F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
-                .select("doc_id", "doc_len",
-                        F.col("z.terms").alias("term"),
-                        F.col("z.tfs").cast("long").alias("tf")))
-            boundary = encode_postings_str(flat, cfg, stats).repartition(
-                max(1, min(parts, len(straddle))), "shard_id")
+            # compact-row shuffle of ONLY the straddling shards through the
+            # same docwise kernel (no token explode, no (shard, term)
+            # grouping pass). Placement is exact — straddle-list rank i
+            # lands on partition i % bparts — because a hash repartition
+            # over O(parts) distinct shard ids strands ~1/e of the
+            # partitions (operators/partitioning.py).
+            bparts = max(1, min(parts, len(straddle)))
+            vals_b = partition_values(spark, bparts)
+            rank_of = (F.array_position(
+                F.lit(np.array(straddle, dtype=np.int64)),
+                F.col("shard_id")) - 1).cast("long")
+            boundary = (
+                base_cols.filter(F.col("shard_id").isin(straddle))
+                .repartition(bparts, round_robin_expr(rank_of, bparts, vals_b))
+                .sortWithinPartitions("shard_id", "doc_id")
+                .mapInArrow(run, schema=ENCODED_STR_SCHEMA))
             encoded = encoded.unionByName(boundary)
         return encoded
 
