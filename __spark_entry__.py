@@ -249,6 +249,48 @@ def _q_bm25_topk_batch(spark, sf_dir):
                           algorithm="block_max_wand", with_urls=True))
 
 
+def _get_quantized_index(spark: SparkSession, sf_dir: str):
+    """Build (and cache) the LINEARLY QUANTIZED index: every posting's f32
+    BM25 score is quantized to an 8-bit integer in the tf slot at build
+    time and queries run the pass-through 'quantized' scorer (reference
+    compress --quantize + scorer/quantized.hpp:141-143,
+    src/linear_quantizer.cpp:22-40)."""
+    key = f"{sf_dir}|q8"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    from pyspark.sql import functions as F
+
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.plans.build import build_index
+
+    cfg = IndexConfig(shard_span=512, quantize_bits=8)
+    docs = _documents(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text")
+    idx = build_index(docs, cfg)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _q_bm25_topk_quantized(spark, sf_dir):
+    """End-to-end quantized index: Block-Max-WAND top-10 where the summed
+    per-doc score is the INTEGER sum of 8-bit linearly-quantized BM25
+    posting scores. The DuckDB twin replicates the full pipeline — f32
+    BM25 per posting (same arithmetic as _bm25_f32_rank_sql), global max,
+    LinearQuantizer's float64 floor((v/max)*254)+1, integer sum — so the
+    hash pins scores exactly (f32 sums of ints < 2^24 are exact). Mirrors
+    the reference's every-algorithm-times-quantized test matrix
+    (test/test_ranked_queries.cpp:119-168)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_quantized_index(spark, sf_dir)
+    res = topk_search(idx, QUERY_SET, k=10, algorithm="block_max_wand")
+    return _with_orig_doc_id(res).select(
+        "qid", "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.col("score").cast("long").alias("qscore"))
+
+
 def _q_boolean_and(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -564,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_bmw": _q_bm25_topk_bmw,
         "bm25_topk_maxscore": _q_bm25_topk_maxscore,
         "bm25_topk_batch": _q_bm25_topk_batch,
+        "bm25_topk_quantized": _q_bm25_topk_quantized,
         "boolean_and_count": _q_boolean_and,
         "boolean_or_count": _q_boolean_or,
         "exact_duplicates": _q_exact_duplicates,
@@ -736,6 +779,52 @@ from (
                  else e0 end as ec
   from (select *, cast(floor(log2(score::double)) as int) as e0
         from ranked where rank <= 10))
+"""
+
+
+def _bm25_quantized_rank_sql(qv: str) -> str:
+    """DuckDB twin of the QUANTIZED index pipeline end-to-end: per-posting
+    f32 BM25 (identical expressions to _bm25_f32_rank_sql's contrib, proven
+    bit-exact against the engine kernels), global f32 max over ALL postings,
+    LinearQuantizer integer math in float64 (floor((v/max) * (2^8-2)) + 1,
+    src/linear_quantizer.cpp:22-40 — division-then-multiply order preserved),
+    then the query-side integer sum per (qid, doc). Scores are small exact
+    integers, so qscore is compared as BIGINT (the engine's f32 sums of
+    8-bit ints are exact below 2^24)."""
+    r = "cast({} as real)".format
+    half, one, k1, b, eps = (r("0.5"), r("1"), r("0.9"), r("0.4"), r("1e-6"))
+    idf = (f"cast(greatest({eps}, cast(ln(cast("
+           f"((cast(stats.n as real) - cast(dft.df as real)) + {half}) / "
+           f"(cast(dft.df as real) + {half}) as real)) as real)) as real) "
+           f"* ({one} + {k1})")
+    part = (f"cast(tf.tf as real) / (cast(tf.tf as real) + {k1} * "
+            f"(({one} - {b}) + {b} * (cast(dl.dl as real) / stats.avgr)))")
+    return f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+dft as (select term, count(distinct doc_id) as df from tf group by term),
+stats as (select (select count(*) from documents) as n,
+                 cast((select sum(dl) from dl)::double
+                      / (select count(*) from documents) as real) as avgr),
+contrib as (
+  select tf.doc_id, tf.term, ({idf}) * ({part}) as c
+  from tf join dl on tf.doc_id = dl.doc_id
+       join dft on tf.term = dft.term cross join stats),
+maxs as (select max(c) as m from contrib),
+quant as (
+  select doc_id, term,
+         cast(floor((c::double / m::double) * 254.0) as bigint) + 1 as q
+  from contrib cross join maxs),
+qt as (select distinct qid, term from {qv}),
+scored as (
+  select qt.qid, quant.doc_id, cast(sum(quant.q) as bigint) as qscore
+  from qt join quant using(term) group by qt.qid, quant.doc_id),
+ranked as (
+  select qid, doc_id, qscore, row_number() over (partition by qid
+                                order by qscore desc, doc_id) as rank
+  from scored)
+select qid, doc_id, rank, qscore from ranked where rank <= 10
 """
 
 
@@ -964,6 +1053,7 @@ from orc cross join nd where n_docs / nd.n < 2.0
         "bm25_topk_bmw": _bm25_f32_rank_sql(qv),
         "bm25_topk_maxscore": _bm25_f32_rank_sql(qv),
         "bm25_topk_batch": _bm25_f32_rank_sql(qv),
+        "bm25_topk_quantized": _bm25_quantized_rank_sql(qv),
         "boolean_and_count": boolean_common + """
 , cand as (select qv.qid, dt.doc_id, count(*) as c
            from qv join dt using(term) group by qv.qid, dt.doc_id)
