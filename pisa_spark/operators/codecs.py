@@ -187,9 +187,16 @@ def bp_decode(buf: bytes) -> np.ndarray:
 # ------------------------------------------- batch (all-blocks-at-once) API
 
 def _bit_lengths(values: np.ndarray) -> np.ndarray:
-    """Per-element bit_length (exact, no float log) for small arrays."""
-    out = np.frompyfunc(int.bit_length, 1, 1)(values.astype(object))
-    return out.astype(np.int64)
+    """Per-element bit_length (exact, no float log): vectorized binary
+    search over the bit width — 6 masked shift/compare passes, no
+    per-element Python and no float rounding hazards near powers of two."""
+    x = np.asarray(values, dtype=np.uint64).copy()
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x >= np.uint64(1 << shift)
+        out[m] += shift
+        x[m] >>= np.uint64(shift)
+    return out + (x > 0)
 
 
 def _scatter_varints(out: np.ndarray, at: np.ndarray, values: np.ndarray
@@ -787,13 +794,32 @@ _S8B_MODES = ((240, 0), (120, 0), (60, 1), (30, 2), (20, 3), (15, 4),
               (4, 15), (3, 20), (2, 30), (1, 60))
 
 
+def _word_starts(best: np.ndarray, counts_of_best: np.ndarray) -> np.ndarray:
+    """Positions where greedy words begin: the orbit of 0 under the jump
+    map nxt[i] = i + count(best[i]), resolved with pointer doubling —
+    O(words x log words) numpy work, no per-word Python loop. The greedy
+    chain is a deterministic function of `best`, so this reproduces the
+    sequential walk byte-for-byte."""
+    n = best.size
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + counts_of_best, n)
+    f = np.append(nxt, n)  # f[n] = n: terminal fixed point
+    starts = np.array([0], dtype=np.int64)
+    while True:
+        grown = np.union1d(starts, f[starts])
+        if grown.size == starts.size:
+            break
+        starts = grown
+        f = f[f]  # double the jump distance
+    return starts[starts < n]
+
+
 def s8b_encode(values: np.ndarray) -> bytes:
     """Simple8b word-aligned packing. Greedy longest-fit per word, as
     published: at each position take the densest selector whose count of
-    next values all fit its width. The per-position best selector is
-    precomputed with vectorized sliding-window maxima; only the word walk
-    itself is a Python loop (O(words), ~n/8 typical).
-    Layout: [varint n][8B LE words...]."""
+    next values all fit its width. Fully vectorized: per-position best
+    selectors via sliding-window maxima, the greedy word walk via
+    pointer-doubling (_word_starts), and packing in per-selector groups
+    exactly like the decoder. Layout: [varint n][8B LE words...]."""
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
     header = varint_encode(np.array([n], dtype=np.uint64))
@@ -804,32 +830,44 @@ def s8b_encode(values: np.ndarray) -> bytes:
         raise ValueError("simple8b encodes values of <= 60 bits")
     # fit[s][i]: do values[i:i+count_s] all fit in width_s bits?
     # (windows shorter than count_s at the tail count as fitting — the
-    # last word simply packs fewer real values, zero-padded)
-    fits = []
-    for count, width in _S8B_MODES:
-        if count >= n:
-            fits.append(np.full(n, int(nbits.max()) <= width, dtype=bool))
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(nbits, count)
-        wmax = win.max(axis=1)
-        tail = np.maximum.accumulate(nbits[::-1])[::-1][n - count + 1:]
-        fits.append(np.concatenate([wmax, tail]) <= width)
-    fit = np.stack(fits)  # (16, n), selector-major; selector 0 densest
-    best = fit.argmax(axis=0)  # first (densest) fitting selector per pos
-    words = []
-    i = 0
-    while i < n:
-        s = int(best[i])
+    # last word simply packs fewer real values, zero-padded). Windowed
+    # maxima come from a sparse table (doubling maxima, O(n log maxcount)
+    # total): max over [i, i+c) = max(m_j[i], m_j[i+c-2^j]) with 2^j <= c —
+    # vs O(n x sum(counts)) ~ 543n for naive sliding windows.
+    pad = np.concatenate([nbits, np.zeros(240, dtype=nbits.dtype)])
+    sparse = [pad]
+    for k in range(8):  # 2^8 = 256 >= max mode count
+        step = 1 << k
+        sparse.append(np.maximum(sparse[-1][:-step], sparse[-1][step:]))
+
+    def _wmax(c: int) -> np.ndarray:
+        j = c.bit_length() - 1
+        mj = sparse[j]
+        return np.maximum(mj[:n], mj[c - (1 << j):c - (1 << j) + n])
+
+    # first (densest) fitting selector per position: s8b fit is monotone in
+    # s (smaller count => wider width), so overwriting from sparsest to
+    # densest leaves the smallest fitting s — no (16, n) stack/argmax
+    best = np.full(n, len(_S8B_MODES) - 1, dtype=np.int64)
+    for s in range(len(_S8B_MODES) - 2, -1, -1):
         count, width = _S8B_MODES[s]
-        take = min(count, n - i)
-        w = np.uint64(s) << np.uint64(60)
-        if width:
-            chunk = v[i:i + take]
-            shifts = (np.arange(take, dtype=np.uint64) * np.uint64(width))
-            w |= np.bitwise_or.reduce(chunk << shifts) if take else np.uint64(0)
-        words.append(w)
-        i += take
-    return header + np.array(words, dtype="<u8").tobytes()
+        best[_wmax(count) <= width] = s
+    s8b_counts = np.array([m[0] for m in _S8B_MODES], dtype=np.int64)
+    starts = _word_starts(best, s8b_counts[best])
+    sel = best[starts]
+    words = sel.astype(np.uint64) << np.uint64(60)
+    vpad = np.concatenate([v, np.zeros(240, dtype=np.uint64)])
+    for s in np.unique(sel):
+        count, width = _S8B_MODES[s]
+        if width == 0:
+            continue  # run modes carry no payload bits
+        idx = np.flatnonzero(sel == s)
+        base = starts[idx]
+        acc = vpad[base].copy()  # tail positions read zero pad
+        for j in range(1, count):
+            acc |= vpad[base + j] << np.uint64(j * width)
+        words[idx] |= acc
+    return header + words.astype("<u8").tobytes()
 
 
 def s8b_decode(buf: bytes) -> np.ndarray:
@@ -887,23 +925,30 @@ def s16_encode(values: np.ndarray) -> bytes:
     nbits = _bit_lengths(v)
     if int(nbits.max()) > 28:
         raise ValueError("simple16 encodes values of <= 28 bits")
-    words = []
-    i = 0
+    # per-position first-fitting pattern in densest-first order: pattern s
+    # fits at i iff every nbits[i+j] <= widths_s[j] elementwise (positions
+    # past the end are zero-padded and always fit) — one sliding-window
+    # comparison per pattern, then the greedy walk via pointer doubling
     order = np.argsort(-_S16_COUNTS, kind="stable")  # densest first
-    while i < n:
-        for s in order:
-            ws = _S16_MODES[s]
-            take = min(len(ws), n - i)
-            if np.all(nbits[i:i + take] <= _S16_WIDTHS[s][:take]):
-                w = np.uint64(s) << np.uint64(28)
-                chunk = v[i:i + take]
-                w |= np.bitwise_or.reduce(chunk << _S16_SHIFTS[s][:take])
-                words.append(w)
-                i += take
-                break
-        else:  # pragma: no cover — selector 15 (1x28) always fits
-            raise AssertionError("no simple16 selector fits")
-    return header + np.array(words, dtype="<u4").tobytes()
+    fits = []
+    for s in order:
+        c = int(_S16_COUNTS[s])
+        padded = np.concatenate([nbits, np.zeros(c - 1, dtype=nbits.dtype)]) \
+            if c > 1 else nbits
+        win = np.lib.stride_tricks.sliding_window_view(padded, c)[:n]
+        fits.append((win <= _S16_WIDTHS[s]).all(axis=1))
+    fit = np.stack(fits)  # densest-first rows
+    best = np.asarray(order)[fit.argmax(axis=0)]  # actual selector ids
+    starts = _word_starts(best, _S16_COUNTS[best])
+    sel = best[starts]
+    words = sel.astype(np.uint64) << np.uint64(28)
+    for s in np.unique(sel):
+        c = int(_S16_COUNTS[s])
+        idx = np.flatnonzero(sel == s)
+        pos = starts[idx][:, None] + np.arange(c)
+        vals = np.where(pos < n, v[np.minimum(pos, n - 1)], np.uint64(0))
+        words[idx] |= np.bitwise_or.reduce(vals << _S16_SHIFTS[s], axis=1)
+    return header + words.astype("<u4").tobytes()
 
 
 def s16_decode(buf: bytes) -> np.ndarray:

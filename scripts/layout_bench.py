@@ -50,6 +50,47 @@ def decode_throughput(n: int = 1_000_000, repeats: int = 3) -> dict:
     return out
 
 
+def encode_throughput(n: int = 1_000_000, repeats: int = 3) -> dict:
+    """Single-thread ENCODE throughput (M ints/s) per codec on the same
+    docID stream shape as decode_throughput — documents the build-side
+    cost of choosing each codec (the BUILD pays encode once; queries pay
+    decode forever, so decode tiers dominate codec choice, but an encoder
+    that is orders slower than varint would tax every build)."""
+    import time
+
+    import numpy as np
+
+    from pisa_spark.operators.codecs import CODECS, encode_gap_stream
+
+    rng = np.random.default_rng(11)
+    docs = np.sort(rng.choice(n * 16, size=n, replace=False)).astype(np.int64)
+    out = {}
+    for codec in CODECS:
+        if codec == "opt":
+            continue
+        encode_gap_stream(docs[:1000], -1, codec)  # warm
+        # adaptive stream size: cold encoders (bic's per-element bit IO)
+        # would take minutes on the full stream — grow until the run is
+        # long enough to time, report the rate at that size
+        size = 1 << 14
+        while True:
+            t0 = time.time()
+            buf = encode_gap_stream(docs[:size], -1, codec)
+            dt = time.time() - t0
+            if dt >= 0.25 or size >= n:
+                break
+            size = min(n, size * 8)
+        best = dt
+        for _ in range(repeats - 1):
+            t0 = time.time()
+            buf = encode_gap_stream(docs[:size], -1, codec)
+            best = min(best, time.time() - t0)
+        out[codec] = {"m_ints_per_sec": round(size / best / 1e6, 2),
+                      "bits_per_gap": round(8.0 * len(buf) / size, 3),
+                      "stream_n": size}
+    return out
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -166,7 +207,8 @@ def main() -> None:
     }
     print(json.dumps({"n_docs": n_docs, "queries": 100, "layouts": out,
                       "bp_clustered": out_bp,
-                      "decode_throughput": decode_throughput()}))
+                      "decode_throughput": decode_throughput(),
+                      "encode_throughput": encode_throughput()}))
 
 
 if __name__ == "__main__":
