@@ -945,9 +945,20 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             # join / broadcast build) re-materializes the 100k+-row local
             # data into the plan — measured ~1-2 s per 200-query batch at
             # 300k docs; as a cached relation it is scanned like any table
-            lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer, cfg,
-                                             stats).persist()
-            lexicon.count()
+            if os.environ.get("PISA_PROFILE_ENCODE"):
+                lb = stats.setdefault("lexicon_breakdown", {})
+                _t = time.time()
+                lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer,
+                                                 cfg, stats)
+                lb["assemble_s"] = round(time.time() - _t, 3)
+                _t = time.time()
+                lexicon = lexicon.persist()
+                lexicon.count()
+                lb["persist_count_s"] = round(time.time() - _t, 3)
+            else:
+                lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer,
+                                                 cfg, stats).persist()
+                lexicon.count()
             lexicon_base = lexicon.select("term", "term_id")
             postings = (enc_str.join(F.broadcast(lexicon_base), "term")
                         .drop("term"))

@@ -167,6 +167,7 @@ def test_lsh_ann_recall(embeddings):
 
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 48)
+    # default path runs the REAL decoders (PNG/WAV/MP4 payloads)
     feats = multimodal.extract_features(media).toPandas()
     assert len(feats) == 48
     assert all(len(f) == multimodal.FEATURE_DIM for f in feats.feature)
@@ -174,8 +175,43 @@ def test_multimodal_plumbing(spark):
     assert all(abs(n - 1.0) < 1e-5 for n in norms)
     frames = multimodal.frame_sample_plan(media).toPandas()
     assert (frames.frame_ts_ms >= 0).all()
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, deterministic_features=False)
+    # plumbing mode still works over arbitrary bytes
+    fake = multimodal.extract_features(media,
+                                       deterministic_features=True).toPandas()
+    assert len(fake) == 48
+
+
+def test_image_decoders_roundtrip():
+    rng = np.random.default_rng(0)
+    for ch in (1, 3, 4):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        arr = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        filt = rng.integers(0, 5, h)  # exercise every PNG filter type
+        dec = multimodal.png_decode(
+            multimodal.png_encode(arr, row_filters=filt))
+        assert np.array_equal(dec, arr)
+    arr = rng.integers(0, 256, (11, 13, 3)).astype(np.uint8)  # odd width: BMP pad
+    assert np.array_equal(multimodal.ppm_decode(multimodal.ppm_encode(arr)), arr)
+    assert np.array_equal(multimodal.bmp_decode(multimodal.bmp_encode(arr)), arr)
+    s = rng.integers(-30000, 30000, 1234).astype(np.int16)
+    dec, rate = multimodal.wav_decode(multimodal.wav_encode(s, rate=16000))
+    assert rate == 16000 and np.array_equal(dec[:, 0], s)
+    assert multimodal.mp4_duration_ms(multimodal.mp4_encode_stub(2500)) == 2500
+
+
+def test_image_stats_closed_form(spark):
+    """image_stats over the synthetic PNG/PPM/BMP table must reproduce the
+    closed-form pixel sums — pins unfiltering, padding, and BGR handling."""
+    imgs = multimodal.synth_images(spark, 30)
+    got = multimodal.image_stats(imgs).toPandas().sort_values("media_id")
+    for _, r in got.iterrows():
+        i = int(r.media_id)
+        w, h = 8 + i % 9, 8 + (i * 3) % 7
+        ch = (1, 3, 4)[(i // 3) % 3] if r.fmt == "png" else 3
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        expect = sum((x + y + c + i) % 256
+                     for y in range(h) for x in range(w) for c in range(ch))
+        assert int(r.pix_sum) == expect, i
 
 
 def test_embedding_neardup_bucketed_matches_exact(spark):
