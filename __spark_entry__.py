@@ -291,6 +291,50 @@ def _q_bm25_topk_quantized(spark, sf_dir):
         F.col("score").cast("long").alias("qscore"))
 
 
+N_SYNTH_IMAGES = 60
+
+
+def _q_image_decode_stats(spark, sf_dir):
+    """Real image decode end-to-end: synth_images builds PNG / PPM / BMP
+    payloads (PNG cycles 1/3/4 channels and row filters 0-4) of the
+    closed-form pattern pixel(y, x, c) = (x + y + c + i) % 256; the engine
+    DECODES the actual bytes (zlib inflate + unfilter / BMP padding+BGR /
+    PPM header) and emits exact integer stats. The DuckDB twin computes
+    the same stats ANALYTICALLY from the pattern — any wrong filter,
+    palette, pad byte, or channel swap changes pix_sum. (sf_dir unused:
+    the table is deterministic by construction, like the reference's
+    built-in test collections.)"""
+    from pisa_spark.operators.multimodal import image_stats, synth_images
+
+    return image_stats(synth_images(spark, N_SYNTH_IMAGES))
+
+
+def _image_stats_sql() -> str:
+    n = N_SYNTH_IMAGES
+    return f"""
+with imgs as (
+  select i,
+         case when i % 3 = 0 then 'png'
+              when i % 3 = 1 then 'ppm' else 'bmp' end as fmt,
+         8 + (i % 9) as w, 8 + ((i * 3) % 7) as h,
+         case when i % 3 = 0
+              then ([1, 3, 4])[((i // 3) % 3) + 1] else 3 end as ch
+  from (select unnest(range({n})) as i)),
+pix as (
+  select imgs.i, cast(sum((x.x + y.y + c.c + imgs.i) % 256) as bigint)
+         as pix_sum
+  from imgs,
+       lateral (select unnest(range(imgs.w)) as x) x,
+       lateral (select unnest(range(imgs.h)) as y) y,
+       lateral (select unnest(range(imgs.ch)) as c) c
+  group by imgs.i)
+select imgs.i as media_id, imgs.fmt,
+       imgs.w as width, imgs.h as height, imgs.ch as channels,
+       pix.pix_sum
+from imgs join pix on imgs.i = pix.i
+"""
+
+
 def _q_boolean_and(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -607,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": _q_bm25_topk_maxscore,
         "bm25_topk_batch": _q_bm25_topk_batch,
         "bm25_topk_quantized": _q_bm25_topk_quantized,
+        "image_decode_stats": _q_image_decode_stats,
         "boolean_and_count": _q_boolean_and,
         "boolean_or_count": _q_boolean_or,
         "exact_duplicates": _q_exact_duplicates,
@@ -1054,6 +1099,7 @@ from orc cross join nd where n_docs / nd.n < 2.0
         "bm25_topk_maxscore": _bm25_f32_rank_sql(qv),
         "bm25_topk_batch": _bm25_f32_rank_sql(qv),
         "bm25_topk_quantized": _bm25_quantized_rank_sql(qv),
+        "image_decode_stats": _image_stats_sql(),
         "boolean_and_count": boolean_common + """
 , cand as (select qv.qid, dt.doc_id, count(*) as c
            from qv join dt using(term) group by qv.qid, dt.doc_id)
