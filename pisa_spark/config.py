@@ -69,6 +69,16 @@ class IndexConfig:
     # distributed rank-assignment path runs (web-scale vocabularies).
     lexicon_broadcast_max: int = 1 << 20
 
+    # Below this vocabulary size the lexicon round-trips through the
+    # driver (collect + pandas assemble + ship back — fastest for small
+    # vocabularies); between this and lexicon_broadcast_max it is
+    # assembled DISTRIBUTED (sample-cut rank ids over the term-agg rows):
+    # the driver path's cost is linear in vocabulary size and serial —
+    # a fixed tax both cluster sizes pay equally, measured 4 s of a 31 s
+    # 8-core build at a 596k-term vocabulary — while the distributed
+    # path is a ~1.2 s parallel floor.
+    lexicon_driver_max: int = 1 << 17
+
     # Doc-wise encode working-set bound: the docwise kernel holds one full
     # doc-shard's exploded tokens (shard_span x avg doc length) in numpy;
     # when that exceeds this bound the build falls back to the exploded

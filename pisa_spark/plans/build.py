@@ -308,7 +308,8 @@ def _bucket_expr(col: str, cuts: list):
 
 
 def assign_rank_ids(df, order_col: str, id_col: str, cuts: list, parts: int,
-                    extra_aggs: list | None = None, persist: bool = True):
+                    extra_aggs: list | None = None, persist: bool = True,
+                    align: int = 1):
     """Assign dense 0..N-1 ids in global `order_col` order without a global
     window and without range-sampling `df`'s (possibly expensive) lineage:
     bucket by the precomputed cut points, one hash shuffle on the bucket id,
@@ -348,8 +349,20 @@ def assign_rank_ids(df, order_col: str, id_col: str, cuts: list, parts: int,
     aggs += list(extra_aggs or [])
     meta = sorted(arranged.groupBy("_pid").agg(*aggs).collect(),
                   key=lambda r: r["_pid"])
+    # align > 1: pad each bucket's id offset up to the next multiple —
+    # ids stay contiguous WITHIN a bucket with holes only at bucket seams.
+    # Passing align=shard_span makes every bucket start span-aligned, so
+    # NO doc shard ever straddles a bucket boundary and the docwise encode
+    # is fully shuffle-free with zero boundary work (the straddle mass
+    # otherwise grows with the bucket count, i.e. with the cluster size —
+    # the higher-parallelism build paid strictly more encode work). Holes
+    # are tails of a bucket's last shard: present docs still occupy the
+    # first (doc_id - shard_base) positions, so doc_lens indexing and
+    # every downstream consumer are unaffected; gap cost in the docID
+    # codecs is a few extra bits per seam.
     offsets, acc = [], 0
     for r in meta:  # buckets are ordered by cut point, so pid order == key order
+        acc = -(-acc // align) * align
         offsets.append((int(r["_pid"]), acc, int(r["_m0"])))
         acc += int(r["_n"])
     odf = spark.createDataFrame(offsets or [(0, 0, 0)],
@@ -551,16 +564,21 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                             approx_count=_footer_count(docs_df))
         _phase("url_cuts")
         tokenized = doc_term_counts(src, cfg, html_col=html_col)
+        # align=shard_span: bucket doc_id offsets pad to span multiples, so
+        # no shard straddles a bucket seam and the docwise encode runs with
+        # zero shuffle at ANY bucket count (see assign_rank_ids)
         doc_terms, _tok_cache, meta = assign_rank_ids(
             tokenized, "url", "doc_id", cuts, parts,
-            extra_aggs=[F.sum("doc_len").alias("_dl")])
+            extra_aggs=[F.sum("doc_len").alias("_dl")],
+            align=cfg.shard_span)
         # ---- collection stats, fused into the rank job
         # (wand_data.hpp:52-60: m_avg_len = float(len / double(num_docs)))
         _phase("tokenize_rank")
         num_docs = sum(int(r["_n"]) for r in meta)
         collection_len = sum(int(r["_dl"] or 0) for r in meta)
         bucket_starts, _acc = [], 0
-        for r in meta:  # sorted by _pid == doc_id order
+        for r in meta:  # sorted by _pid == doc_id order; mirrors the
+            _acc = -(-_acc // cfg.shard_span) * cfg.shard_span  # align pad
             bucket_starts.append(_acc)
             _acc += int(r["_n"])
         stats = {
@@ -869,24 +887,24 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         if manifest.done("lexicon"):
             lexicon = manifest.read_df(spark, "lexicon")
         else:
-            agg_pdf = _term_agg_of(enc_str).limit(
-                cfg.lexicon_broadcast_max + 1).toPandas()
-            if len(agg_pdf) <= cfg.lexicon_broadcast_max:
-                lex_full = _lexicon_from_term_agg(spark, agg_pdf, scorer,
-                                                  cfg, stats)
+            aggd = _term_agg_of(enc_str).persist(
+                StorageLevel.MEMORY_AND_DISK_DESER)
+            n_vocab = aggd.count()
+            if n_vocab <= cfg.lexicon_driver_max:
+                lex_full = _lexicon_from_term_agg(
+                    spark, aggd.toPandas(), scorer, cfg, stats)
             else:
-                # web-scale vocabulary: distributed dense-id assignment,
-                # stats joined back on the term string
-                terms_distinct = enc_str.select("term").distinct().persist(
-                    StorageLevel.MEMORY_AND_DISK_DESER)
-                term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
+                # mid/web-scale vocabulary: distributed dense-id
+                # assignment over the cached term-agg rows (driver
+                # round-trip cost is linear in vocab size and serial)
+                term_cuts = _sample_cuts(aggd, "term", parts * 4)
                 lex_ids, _lex_cache, _ = assign_rank_ids(
-                    terms_distinct, "term", "term_id", term_cuts, parts)
-                lex_full = _with_max_score(
-                    lex_ids.select("term", "term_id").join(
-                        _term_agg_of(enc_str), "term"),
-                    scorer, cfg, stats)
+                    aggd, "term", "term_id", term_cuts, parts)
+                lex_full = _with_max_score(lex_ids, scorer, cfg,
+                                           stats).select(
+                    "term", "term_id", "df", "cf", "max_part", "max_score")
             manifest.write_df("lexicon", lex_full)
+            aggd.unpersist()
             lexicon = manifest.read_df(spark, "lexicon")
         postings = join_term_ids(enc_str, lexicon,
                                  cfg.lexicon_broadcast_max)
@@ -923,6 +941,10 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         # web-scale vocabulary, (c) fetches the vocabulary AND its WAND
         # term stats when small — the lexicon is then assembled driver-side
         # (Arrow), removing the separate lexicon_meta scan over the cache.
+        # the vocabulary probe is ONE fused job (materializes the encode
+        # cache AND the per-term agg cache, returns only a count — no
+        # driver data transfer at any vocabulary size)
+        aggd = _term_agg_of(enc_str).persist(StorageLevel.MEMORY_AND_DISK_DESER)
         if os.environ.get("PISA_PROFILE_ENCODE"):
             # diagnostic split of the fused job (scaling-ladder forensics):
             # materialize the cache alone, then agg the cached rows alone
@@ -932,46 +954,48 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
             bd["materialize_s"] = round(time.time() - _t, 3)
             bd["enc_parts"] = enc_str.rdd.getNumPartitions()
             _t = time.time()
-            agg_pdf = _term_agg_of(enc_str).limit(
-                cfg.lexicon_broadcast_max + 1).toPandas()
+            n_vocab = aggd.count()
             bd["term_agg_s"] = round(time.time() - _t, 3)
         else:
-            agg_pdf = _term_agg_of(enc_str).limit(
-                cfg.lexicon_broadcast_max + 1).toPandas()
+            n_vocab = aggd.count()
         _phase("encode_postings")
-        if len(agg_pdf) <= cfg.lexicon_broadcast_max:
-            # persist + materialize the driver-built lexicon: left as a
-            # LocalRelation, every downstream job (each query's lexicon
-            # join / broadcast build) re-materializes the 100k+-row local
-            # data into the plan — measured ~1-2 s per 200-query batch at
-            # 300k docs; as a cached relation it is scanned like any table
-            if os.environ.get("PISA_PROFILE_ENCODE"):
-                lb = stats.setdefault("lexicon_breakdown", {})
-                _t = time.time()
-                lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer,
-                                                 cfg, stats)
-                lb["assemble_s"] = round(time.time() - _t, 3)
-                _t = time.time()
-                lexicon = lexicon.persist()
-                lexicon.count()
-                lb["persist_count_s"] = round(time.time() - _t, 3)
-            else:
-                lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer,
-                                                 cfg, stats).persist()
-                lexicon.count()
-            lexicon_base = lexicon.select("term", "term_id")
+        _t_lex = time.time()
+        if n_vocab <= cfg.lexicon_driver_max:
+            # small vocabulary: the driver round-trip (collect + pandas
+            # assemble + ship back) is the fastest path. persist +
+            # materialize: left as a LocalRelation, every downstream job
+            # re-materializes the local rows into its plan — measured
+            # ~1-2 s per 200-query batch at 300k docs
+            agg_pdf = aggd.toPandas()
+            aggd.unpersist()
+            lexicon = _lexicon_from_term_agg(spark, agg_pdf, scorer,
+                                             cfg, stats).persist()
+            lexicon.count()
+        else:
+            # mid/web-scale vocabulary: distributed dense-id assignment
+            # over the cached term-agg rows. The driver path's cost is
+            # linear in vocabulary size and SERIAL (measured 4 s of a
+            # 31 s 8-core build at 596k terms — a fixed tax every cluster
+            # size pays equally); this one is a parallel ~1 s floor.
+            term_cuts = _sample_cuts(aggd, "term", parts * 4)
+            lex_ids, _lex_cache, _ = assign_rank_ids(
+                aggd, "term", "term_id", term_cuts, parts)
+            lexicon = _with_max_score(lex_ids, scorer, cfg, stats).select(
+                "term", "term_id", "df", "cf", "max_part",
+                "max_score").persist()
+            lexicon.count()
+            _lex_cache.unpersist()
+            aggd.unpersist()
+        if os.environ.get("PISA_PROFILE_ENCODE"):
+            stats.setdefault("lexicon_breakdown", {})[
+                "lexicon_s"] = round(time.time() - _t_lex, 3)
+        lexicon_base = lexicon.select("term", "term_id")
+        if n_vocab <= cfg.lexicon_broadcast_max:
             postings = (enc_str.join(F.broadcast(lexicon_base), "term")
                         .drop("term"))
         else:
-            terms_distinct = enc_str.select("term").distinct()
-            terms_distinct = terms_distinct.persist(
-                StorageLevel.MEMORY_AND_DISK_DESER)
-            term_cuts = _sample_cuts(terms_distinct, "term", parts * 4)
-            lexicon_base, _lex_cache, _ = assign_rank_ids(
-                terms_distinct, "term", "term_id", term_cuts, parts)
-            lexicon_base = lexicon_base.select("term", "term_id")
             # non-broadcast vocabulary: the id join is a sort-merge SHUFFLE
-            # of the whole index — unlike the broadcast case below, every
+            # of the whole index — unlike the broadcast case, every
             # downstream action would re-pay it, so persist the join result
             # (the one extra cache copy is cheaper than re-shuffling the
             # index per query batch)

@@ -27,14 +27,23 @@ def index(spark, corpus):
 
 @pytest.fixture(scope="module")
 def doc_sets(corpus):
+    """Expected per-term doc sets keyed by URL — internal doc_ids are
+    opaque (bucket offsets are span-aligned, so the id space has holes at
+    bucket seams); parity is checked on the url surface."""
     cfg = IndexConfig()
     analyze = make_analyzer(cfg)
-    en = corpus[corpus.lang == "en"].sort_values("url").reset_index(drop=True)
+    en = corpus[corpus.lang == "en"]
     sets: dict = collections.defaultdict(set)
-    for d, text in enumerate(en["text"]):
+    for url, text in zip(en["url"], en["text"]):
         for t in analyze(text):
-            sets[t].add(d)
+            sets[t].add(url)
     return sets
+
+
+@pytest.fixture(scope="module")
+def url_of(index):
+    return {int(r["doc_id"]): r["url"]
+            for r in index.docs.select("doc_id", "url").collect()}
 
 
 QUERIES = ["Q0:term0000 term0003", "Q1:term0001 term0090 term0058",
@@ -63,13 +72,13 @@ def _group(rows):
     return g
 
 
-def test_and_query_matches_set_intersection(index, doc_sets):
-    got = {r.qid: set() for r in and_query(index, QUERIES).collect()}
+def test_and_query_matches_set_intersection(index, doc_sets, url_of):
+    got: dict = collections.defaultdict(set)
     for r in and_query(index, QUERIES).collect():
-        got[r.qid].add(r.doc_id)
+        got[r.qid].add(url_of[r.doc_id])
     exp = _expected(doc_sets, lambda sel: set.intersection(*sel))
     exp = {q: s for q, s in exp.items() if s}
-    assert got == exp
+    assert dict(got) == exp
 
 
 def test_or_count_matches_set_union(index, doc_sets):

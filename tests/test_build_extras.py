@@ -250,8 +250,10 @@ def test_bp_checkpoint_resume_and_clustered_win(spark, tmp_path):
 
 def test_shuffle_free_encode_identical_to_shuffled(spark):
     """The bucket-aligned (shuffle-free) docwise encode must produce
-    byte-identical encoded rows to the (shard)-repartitioned plan, with
-    both interior and bucket-straddling shards present."""
+    byte-identical encoded rows to the (shard)-repartitioned plan. The
+    build path now aligns bucket offsets to the shard span, so NO shard
+    ever straddles a bucket seam — asserted here — and the straddle
+    branch is exercised separately below with a hand-built layout."""
     import pisa_spark.operators.postings as P
     import pisa_spark.plans.build as B
     from pisa_spark.sources import webtext
@@ -264,7 +266,6 @@ def test_shuffle_free_encode_identical_to_shuffled(spark):
 
     def spy(*a, **kw):
         seen["starts"] = kw.get("bucket_starts")
-        seen["num_docs"] = a[2].get("num_docs") if len(a) > 2 else None
         return orig(*a, **kw)
 
     P.encode_postings_docwise_str = spy
@@ -276,11 +277,10 @@ def test_shuffle_free_encode_identical_to_shuffled(spark):
         P.encode_postings_docwise_str = orig
     starts = seen["starts"]
     assert starts is not None and len(starts) > 1
-    straddle = {s // span for s in starts if s % span}
-    assert straddle, "corpus must exercise bucket-straddling shards"
-    # the straddle-mass gate must NOT have tripped, or this test would
-    # vacuously compare the classic path against itself
-    assert len(straddle) * span * 4 <= seen["num_docs"]
+    # span-aligned bucket offsets: the shuffle-free plan has no boundary
+    # branch at any parallelism (the straddle mass used to grow with the
+    # bucket count, taxing exactly the higher-parallelism build)
+    assert all(s % span == 0 for s in starts)
 
     def legacy(*a, **kw):
         kw["bucket_starts"] = None
@@ -294,3 +294,48 @@ def test_shuffle_free_encode_identical_to_shuffled(spark):
     finally:
         P.encode_postings_docwise_str = orig
     assert rows_new == rows_old and rows_new
+
+
+def test_straddle_branch_identical_to_shuffled(spark):
+    """Unaligned bucket_starts (callers outside the aligned build path):
+    bucket-straddling shards route through the compact-row boundary
+    branch and must still be byte-identical to the classic plan."""
+    from pyspark.sql import functions as F
+
+    import pisa_spark.operators.postings as P
+    from pisa_spark.functions.scoring import make_scorer  # noqa: F401
+    from pisa_spark.sources import webtext
+
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.plans.build import doc_term_counts
+
+    span = 16
+    cfg = IndexConfig(shard_span=span)
+    pages = webtext.generate(spark, 600, seed=23)
+    toks = doc_term_counts(pages.select("url", "html"), cfg,
+                           html_col="html")
+    # hand-built rank layout: 2 partitions, each one contiguous doc_id
+    # bucket with an UNALIGNED seam at 250 (shard 15 straddles)
+    from pyspark.sql import Window as W
+
+    ranked = toks.withColumn(
+        "doc_id", F.row_number().over(W.orderBy("url")) - 1)
+    n = ranked.count()
+    seam = 250
+    assert seam % span != 0
+    layout = (ranked.repartition(2, (F.col("doc_id") >= seam).cast("int"))
+              .sortWithinPartitions("doc_id"))
+    # repartition(2, bool) may hash both buckets anywhere; rebuild with
+    # range partitioning so each partition IS one contiguous bucket
+    layout = ranked.repartitionByRange(2, (F.col("doc_id") >= seam))\
+        .sortWithinPartitions("doc_id")
+    stats = {"num_docs": n, "collection_len": 0, "avg_len": 1.0}
+    free = P.encode_postings_docwise_str(
+        layout, cfg, dict(stats), bucket_starts=[0, seam])
+    classic = P.encode_postings_docwise_str(layout, cfg, dict(stats),
+                                            bucket_starts=None)
+    a = sorted(map(tuple, free.collect()))
+    b = sorted(map(tuple, classic.collect()))
+    assert a == b and a
+    straddle_shard = seam // span
+    assert any(r[0] == straddle_shard for r in a)

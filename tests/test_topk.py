@@ -106,13 +106,19 @@ def test_pruned_matches_exhaustive_exactly(index, queries, oracle_results,
         assert got[q] == oracle_results[q], f"query {q}"
 
 
-def test_oracle_matches_pure_python(oracle_results, queries, pyref):
+def test_oracle_matches_pure_python(index, oracle_results, queries, pyref):
     cfg = IndexConfig()
     qmap = collections.defaultdict(list)
     for qid, term, w in analyze_query_terms(queries, cfg):
         qmap[qid].append((term, w))
+    # internal doc_ids are url-rank MONOTONE but not dense (span-aligned
+    # bucket seams leave id holes); map to the pyref's dense url ranks
+    ids = sorted(int(r["doc_id"])
+                 for r in index.docs.select("doc_id").collect())
+    rank_of = {d: i for i, d in enumerate(ids)}
     answered = 0
     for q, got in oracle_results.items():
+        got = [(rank_of[d], s) for d, s in got]
         ref = pyref(qmap[q])
         assert [d for d, _ in ref] == [d for d, _ in got], f"query {q}"
         for (d1, s1), (d2, s2) in zip(ref, got):
