@@ -32,23 +32,45 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     Returns (bytes, per-value byte lengths) — lengths let callers compute
     block byte offsets into the stream without re-encoding.
     """
-    v = np.asarray(values, dtype=np.uint64)
+    v = np.asarray(values)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
+    # work in the narrowest unsigned width that holds the values: the
+    # encode makes several full passes over `v`-sized temporaries, and the
+    # kernel is DRAM-bandwidth-bound under task concurrency — uint32 for
+    # doc gaps (bounded by shard_span) / tf-1 halves the traffic. The
+    # emitted byte stream is identical at any width. Values are
+    # non-negative by contract (validated gap-1 / tf-1 streams); int64
+    # input is REINTERPRETED as uint64 (free) rather than copied.
+    if v.dtype == np.uint32:
+        u = np.uint32
+    elif v.dtype in (np.int32, np.int16, np.uint16, np.int8, np.uint8):
+        v = v.astype(np.uint32)
+        u = np.uint32
+    else:
+        if v.dtype == np.int64:
+            v = np.ascontiguousarray(v).view(np.uint64)
+        elif v.dtype != np.uint64:
+            v = v.astype(np.uint64)
+        if int(v.max()) < (1 << 32):
+            v = v.astype(np.uint32)
+            u = np.uint32
+        else:
+            u = np.uint64
     nbytes = np.ones(v.size, dtype=np.int64)
-    x = v >> np.uint64(7)
+    x = v >> u(7)
     while x.any():
         nbytes += (x > 0)
-        x >>= np.uint64(7)
+        x >>= u(7)
     offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
     out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
     cur = v.copy()
     for b in range(int(nbytes.max())):
         mask = nbytes > b
-        byte = (cur[mask] & np.uint64(0x7F)).astype(np.uint8)
+        byte = (cur[mask] & u(0x7F)).astype(np.uint8)
         more = (nbytes[mask] > b + 1).astype(np.uint8)
         out[offsets[mask] + b] = byte | (more << 7)
-        cur[mask] >>= np.uint64(7)
+        cur[mask] >>= u(7)
     return out.tobytes(), nbytes
 
 

@@ -163,7 +163,9 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
                    term_dict: pa.Array | None = None) -> pa.RecordBatch:
     """Encode complete (shard_id, term_id) groups into one Arrow batch.
 
-    Inputs are int64 numpy arrays pre-sorted by (shard_id, term_id, doc_id).
+    Inputs are numpy arrays pre-sorted by (shard_id, term_id, doc_id);
+    docs/shard are int64, term may be int32 (batch-local dictionary codes)
+    and doc_len any numeric dtype (consumed as float32 by the scorer).
     The whole kernel is columnar: block boundaries, block maxima and byte
     offsets are computed with batch-wide numpy ops, and the output
     RecordBatch wraps the varint streams ZERO-COPY (each row's docs_bin /
@@ -191,11 +193,14 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
     n_groups = starts.size
 
     # vectorized across the batch: gap-1 stream (group starts rebased to the
-    # shard base), tf-1 stream, per-posting score part
-    base = shard * span - 1
-    prev = np.empty_like(docs)
+    # shard base), tf-1 stream, per-posting score part. base is GROUP-level
+    # (n_groups), not per-token — the kernel is bandwidth-bound and a full
+    # n-sized int64 temporary costs two DRAM passes for values only ever
+    # read at group starts.
+    base_g = shard[starts].astype(np.int64) * span - 1
+    prev = np.empty(n_rows, dtype=np.int64)
     prev[1:] = docs[:-1]
-    prev[starts] = base[starts]
+    prev[starts] = base_g
     gaps_signed = docs - prev - 1
     if gaps_signed.size and int(gaps_signed.min()) < 0:
         # a negative gap would wrap silently in the uint64 cast and
@@ -204,7 +209,6 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
         raise ValueError(
             "posting docs not strictly increasing within a (shard, term) "
             "run — mis-sorted input or shard split across partitions")
-    gaps = gaps_signed.astype(np.uint64)
 
     if scorer.separable:
         part = scorer.doc_part(tfs, doc_len, stats["avg_len"])
@@ -215,8 +219,7 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
             collection_len=stats["collection_len"],
         )
 
-    tf_bytes, tf_lens_b = codecs.varint_encode_with_lengths(
-        tfs.astype(np.uint64) - np.uint64(1))
+    tf_bytes, tf_lens_b = codecs.varint_encode_with_lengths(tfs - 1)
     tf_byte_off = np.concatenate(([0], np.cumsum(tf_lens_b)))
 
     # ---- block boundaries (absolute batch offsets, all groups at once)
@@ -254,7 +257,8 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
 
     # ---- docID streams + per-block byte offsets
     if cfg.codec == "varint":
-        doc_bytes, doc_lens_b = codecs.varint_encode_with_lengths(gaps)
+        doc_bytes, doc_lens_b = codecs.varint_encode_with_lengths(
+            gaps_signed)
         doc_byte_off = np.concatenate(([0], np.cumsum(doc_lens_b)))
         d_offs_vals = (doc_byte_off[abs_start]
                        - doc_byte_off[grp_start_of_blk]).astype(np.int32)
@@ -267,12 +271,12 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
         if cfg.codec == "ef":
             block_prev = np.where(abs_start > grp_start_of_blk,
                                   docs[abs_start - 1],
-                                  base[grp_start_of_blk])
+                                  base_g[grp_of_blk])
             doc_bytes, chunk_lens = codecs.ef_encode_blocks(
                 docs, abs_start, abs_end, block_prev)
         else:
             doc_bytes, chunk_lens = codecs.bp_encode_blocks(
-                gaps, abs_start, abs_end)
+                gaps_signed.astype(np.uint64), abs_start, abs_end)
         cum_chunk = np.concatenate(([0], np.cumsum(chunk_lens)))
         d_offs_vals = (cum_chunk[:-1]
                        - cum_chunk[cum_nblk[grp_of_blk]]).astype(np.int32)
@@ -285,7 +289,8 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
         for b in range(total):
             bs, be = int(abs_start[b]), int(abs_end[b])
             gs = int(grp_start_of_blk[b])
-            prev_last = int(docs[bs - 1]) if bs > gs else int(base[gs])
+            prev_last = (int(docs[bs - 1]) if bs > gs
+                         else int(base_g[grp_of_blk[b]]))
             buf = codecs.encode_gap_stream(docs[bs:be], prev_last, cfg.codec)
             chunks.append(buf)
             chunk_lens[b] = len(buf)
@@ -332,9 +337,9 @@ def _encode_arrays(shard: np.ndarray, term: np.ndarray, docs: np.ndarray,
         pa.array(shard[starts], type=pa.int64()),
         term_col,
         pa.array((ends - starts).astype(np.int64), type=pa.int64()),
-        pa.array(np.add.reduceat(tfs, starts).astype(np.int64),
+        pa.array(np.add.reduceat(tfs, starts, dtype=np.int64),
                  type=pa.int64()),
-        pa.array(base[starts], type=pa.int64()),
+        pa.array(base_g, type=pa.int64()),
         pa.array(docs[ends - 1], type=pa.int64()),
         _list(blk_last, pa.int64()),
         _list(d_offs_vals, pa.int32()),
@@ -614,23 +619,46 @@ def encode_postings_docwise_str(doc_terms, cfg: IndexConfig, stats: dict,
         terms_list = rb.column("terms")
         n_tok = pc.list_value_length(terms_list).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        doc = np.repeat(doc_ids, n_tok)
-        if doc.size == 0:
+        n = int(n_tok.sum())
+        if n == 0:
             return pa.RecordBatch.from_pylist([],
                                               schema=ENCODED_STR_PA_SCHEMA)
-        dl = np.repeat(dls, n_tok)
+        n_docs = doc_ids.size
+        # Docs arrive doc_id-sorted, so every shard is one contiguous token
+        # range: sort each shard SEGMENT by local term code (stable keeps
+        # docs ascending) instead of one global argsort over an int64
+        # (shard*V + tid) key. Same (shard, term, doc) order, but the sort
+        # and gathers run on cache-resident segment slices and the per-token
+        # temporaries are int32 — the kernel is DRAM-bandwidth-bound under
+        # task concurrency, so bytes touched, not instructions, is the cost.
+        tok_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=tok_off[1:])
+        sh_doc = doc_ids // span
+        seg_doc = np.concatenate(
+            ([0], np.flatnonzero(sh_doc[1:] != sh_doc[:-1]) + 1))
+        seg_tok = tok_off[seg_doc]
+        seg_end = np.append(seg_tok[1:], n)
         dict_enc = terms_list.flatten().dictionary_encode()
-        tid = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        tfs_flat = rb.column("tfs").flatten().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        sh = doc // span
-        # one stable radix sort on the combined key (see
-        # encode_postings_docwise: docs are pre-sorted within shards)
-        key = sh * np.int64(len(dict_enc.dictionary)) + tid
-        order = np.argsort(key, kind="stable")
-        return _encode_arrays(sh[order], tid[order], doc[order],
-                              tfs_flat[order], dl[order], cfg, stats, scorer,
-                              term_dict=dict_enc.dictionary)
+        tid = dict_enc.indices.to_numpy(zero_copy_only=False)
+        if tid.dtype != np.int32:
+            tid = tid.astype(np.int32)
+        docidx = np.repeat(np.arange(n_docs, dtype=np.int32), n_tok)
+        tfs_flat = rb.column("tfs").flatten().to_numpy(zero_copy_only=False)
+        tid_o = np.empty(n, dtype=np.int32)
+        didx_o = np.empty(n, dtype=np.int32)
+        tf_o = np.empty(n, dtype=tfs_flat.dtype)
+        for s, e in zip(seg_tok, seg_end):
+            o = np.argsort(tid[s:e], kind="stable")
+            tid_o[s:e] = tid[s:e][o]
+            didx_o[s:e] = docidx[s:e][o]
+            tf_o[s:e] = tfs_flat[s:e][o]
+        # doc_id / doc_len / shard per posting via small per-doc lookup
+        # tables (cache-resident) — not pre-sort n-sized int64 repeats
+        doc_o = doc_ids[didx_o]
+        dl_o = dls.astype(np.float32)[didx_o]
+        sh_o = np.repeat(sh_doc[seg_doc], seg_end - seg_tok)
+        return _encode_arrays(sh_o, tid_o, doc_o, tf_o, dl_o, cfg, stats,
+                              scorer, term_dict=dict_enc.dictionary)
 
     def run(batches):
         carry: pa.RecordBatch | None = None

@@ -339,3 +339,27 @@ def test_straddle_branch_identical_to_shuffled(spark):
     assert a == b and a
     straddle_shard = seam // span
     assert any(r[0] == straddle_shard for r in a)
+
+
+def test_lexicon_driver_ids_identical_to_small_path(spark):
+    """The broadcast-size lexicon branch (driver id-assignment over a
+    slim term-only transfer, stats joined distributed) must produce the
+    SAME lexicon — ids, stats, max_score bits — and the same query
+    results as the small-vocab driver path."""
+    from pisa_spark.plans.build import build_index
+    from pisa_spark.sources import webtext
+
+    docs = webtext.generate(spark, 800, seed=23)
+    cfg_small = IndexConfig(shard_span=64)
+    cfg_mid = IndexConfig(shard_span=64, lexicon_driver_max=0)
+    idx_a = build_index(docs, cfg_small, html_col="html")
+    idx_b = build_index(docs, cfg_mid, html_col="html")
+    lex_a = sorted(map(tuple, idx_a.lexicon.collect()))
+    lex_b = sorted(map(tuple, idx_b.lexicon.collect()))
+    assert lex_a == lex_b and lex_a
+    qs = webtext.synth_queries(8, seed=31)
+    qa = sorted(map(tuple, topk_search(
+        idx_a, qs, k=10, algorithm="block_max_wand").collect()))
+    qb = sorted(map(tuple, topk_search(
+        idx_b, qs, k=10, algorithm="block_max_wand").collect()))
+    assert qa == qb and qa
