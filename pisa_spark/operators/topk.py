@@ -419,7 +419,7 @@ class _ServeState:
     eviction."""
 
     __slots__ = ("tmeta", "smeta", "bc_shards", "n_shards",
-                 "rows_by_term", "cached_postings")
+                 "rows_by_term", "cached_postings", "complete")
 
     def __init__(self, tmeta, smeta, bc_shards):
         self.tmeta = tmeta
@@ -428,6 +428,10 @@ class _ServeState:
         self.n_shards = len(smeta)
         self.rows_by_term: dict[str, dict] = {}
         self.cached_postings = 0
+        # True when the ENTIRE index's posting rows are resident (small
+        # indexes prefetch at state build, the reference's load-up-front
+        # model) — per-query fetch jobs and eviction are then skipped.
+        self.complete = False
 
 
 def _serve_state(index):
@@ -454,7 +458,33 @@ def _serve_state(index):
         smeta[int(r["shard_id"])] = (
             int(r["base_doc"]), np.asarray(r["doc_lens"], dtype=np.int64))
     bc = spark.sparkContext.broadcast(smeta)
-    index._serve_state = _ServeState(tmeta, smeta, bc)
+    st = _ServeState(tmeta, smeta, bc)
+    # whole-index prefetch: when every posting row fits the resident cache
+    # budget, fetch them ALL in one job now — the reference's query tools
+    # likewise load/mmap the full index before serving a single query
+    # (tools/queries.cpp:279-340). Per-query latency then never pays a
+    # Spark job: first-seen terms are already resident.
+    total_postings = sum(m[1] for m in tmeta.values())
+    if total_postings <= SERVE_CACHE_MAX_POSTINGS:
+        src = getattr(index, "postings_str", None)
+        pdf = (src if src is not None else index.postings).toPandas()
+        if "term" in pdf.columns:
+            pdf = pdf.assign(
+                term_id=pdf["term"].map(lambda t: tmeta[t][0]))
+        else:
+            id2term = {m[0]: t for t, m in tmeta.items()}
+            pdf = pdf.assign(term=pdf["term_id"].map(id2term))
+        id2meta = {m[0]: (m[1], m[2]) for m in tmeta.values()}
+        pdf = pdf.assign(
+            df=pdf["term_id"].map(lambda t: id2meta[int(t)][0]),
+            cf=pdf["term_id"].map(lambda t: id2meta[int(t)][1]))
+        terms_np = pdf["term"].to_numpy()
+        pdf = pdf.drop(columns=["term"])
+        for t, row in zip(terms_np, pdf.itertuples(index=False)):
+            st.rows_by_term.setdefault(t, {})[int(row.shard_id)] = row
+        st.cached_postings = total_postings
+        st.complete = True
+    index._serve_state = st
     return index._serve_state
 
 
@@ -564,7 +594,8 @@ def _topk_search_serve(index, queries: list[str], k: int, algorithm: str,
                                 "doc_id": pd.Series(dtype="int64"),
                                 "score": pd.Series(dtype="float32")})
     else:
-        missing = [t for t in tid_of_term if t not in st.rows_by_term]
+        missing = ([] if st.complete else
+                   [t for t in tid_of_term if t not in st.rows_by_term])
         est_fetch = sum(st.tmeta[t][1] for t in missing)
         if est_fetch <= SERVE_COLLECT_MAX_POSTINGS:
             # ---- driver mode: fetch first-seen terms' rows (one job, or

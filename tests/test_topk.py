@@ -290,3 +290,32 @@ def test_block_max_maxscore_prunes_at_least_as_tight(index, queries):
                 .agg(F.sum("docs_scored")).collect()[0][0])
         per_alg[name] = int(prof)
     assert per_alg["block_max_maxscore"] <= per_alg["maxscore"]
+
+
+def test_serve_prefetch_whole_index(index, queries):
+    """Small indexes load every posting row into the serve cache at state
+    build (the reference loads/mmaps the full index before serving,
+    tools/queries.cpp:279-340): first-seen terms must already be resident
+    — no per-query fetch job — and rankings stay identical."""
+    from pisa_spark.operators import topk as T
+
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, round(float(r.score), 6))
+                      for r in rows)
+
+    base = key(T.topk_search(index, queries, k=K,
+                             algorithm="block_max_wand",
+                             with_urls=False).collect())
+    st = index._serve_state
+    assert st and st.complete
+    assert st.cached_postings == sum(m[1] for m in st.tmeta.values())
+    # every lexicon term is resident
+    assert set(st.rows_by_term) == set(st.tmeta)
+    again = key(T.topk_search(index, queries, k=K,
+                              algorithm="block_max_wand",
+                              with_urls=False).collect())
+    assert again == base
+    del index._serve_state
