@@ -214,11 +214,24 @@ def main() -> None:
             for c in levels}
     build_eff = best[4 * n]["b"] / (4 * best[n]["b"])
     query_eff = best[4 * n]["q"] / (4 * best[n]["q"])
+    # Paired estimator: repeat i runs all levels back-to-back, so the
+    # per-repeat ratio cancels slow host drift (this box's throughput
+    # wanders monotonically within an hour; pairing is the standard
+    # repeated-measures answer). Reported alongside the per-level-median
+    # ratio, never instead of it.
+    build_eff_paired = statistics.median(
+        runs[4 * n][i]["build_docs_per_sec"] /
+        (4 * runs[n][i]["build_docs_per_sec"]) for i in range(repeats))
+    query_eff_paired = statistics.median(
+        runs[4 * n][i]["queries_per_sec"] /
+        (4 * runs[n][i]["queries_per_sec"]) for i in range(repeats))
     out = {
         "n_docs": n_docs,
         "levels": {f"local[{c}]": best[c] for c in levels},
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
+        "build_scaling_efficiency_paired": round(build_eff_paired, 3),
+        "query_scaling_efficiency_paired": round(query_eff_paired, 3),
         "hardware_ceiling": ceiling,
         "all_runs": runs,
     }
