@@ -103,15 +103,22 @@ def query_bench(spark, idx) -> dict:
                               algorithm="block_max_wand").count()
         batch_runs.append(time.time() - t0)
     batch_s = sorted(batch_runs)[1]
-    # per-query latency (reference queries.cpp shape: first run warms up)
-    topk_search(idx, [queries[0]], k=10,
-                algorithm="block_max_wand").collect()  # untimed warm-up
-    lat = []
-    for q in queries[:N_LATENCY_QUERIES]:
-        t0 = time.time()
+    # per-query latency — the reference's exact protocol
+    # (tools/queries.cpp:199-210): one UNTIMED pass over every query
+    # warms the serve caches, then each query is measured once per run
+    # for `runs` runs; per-query time is the median across runs.
+    lat_queries = queries[:N_LATENCY_QUERIES]
+    for q in lat_queries:  # run 0: not timed
         topk_search(idx, [q], k=10, algorithm="block_max_wand",
                     range_span=rspan, with_urls=False).collect()
-        lat.append(time.time() - t0)
+    per_q = [[] for _ in lat_queries]
+    for _ in range(3):  # reference default --runs 3
+        for i, q in enumerate(lat_queries):
+            t0 = time.time()
+            topk_search(idx, [q], k=10, algorithm="block_max_wand",
+                        range_span=rspan, with_urls=False).collect()
+            per_q[i].append(time.time() - t0)
+    lat = [sorted(ts)[len(ts) // 2] for ts in per_q]
     lat.sort()
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]

@@ -108,6 +108,37 @@ class _TermRun:
         self._docs = None
         self._tfs = None
 
+    @classmethod
+    def merged(cls, shard_runs: list) -> "_TermRun":
+        """One run over the term's postings across ALL shards (ascending
+        global docIDs): the serve path's whole-index traversal — the
+        reference's cursors walk one in-memory index, not one per shard
+        (tools/queries.cpp:279-340). Decodes each shard run once; block
+        metadata concatenates because blk_last/doc ids are absolute."""
+        runs = sorted(shard_runs, key=lambda r: r.base_doc)
+        r0 = runs[0]
+        self = cls.__new__(cls)
+        self.term_id = r0.term_id
+        self.codec = r0.codec
+        self.weight = r0.weight
+        self.df = r0.df
+        self.cf = r0.cf
+        self.idf = r0.idf
+        self.n = sum(r.n for r in runs)
+        self.base_doc = r0.base_doc
+        self.last_doc = runs[-1].last_doc
+        ds, ts = zip(*(r.decode_all() for r in runs))
+        self._docs = np.concatenate(ds)
+        self._tfs = np.concatenate(ts)
+        self.blk_last = np.concatenate([r.blk_last for r in runs])
+        self.blk_ub = np.concatenate([r.blk_ub for r in runs])
+        self.ub = F32(self.blk_ub.max()) if self.blk_ub.size else F32(0.0)
+        self.doc_offs = None
+        self.tf_offs = None
+        self.docs_bin = b""
+        self.tfs_bin = b""
+        return self
+
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         if self._docs is None:
             if self.codec == "varint":
@@ -419,19 +450,45 @@ class _ServeState:
     eviction."""
 
     __slots__ = ("tmeta", "smeta", "bc_shards", "n_shards",
-                 "rows_by_term", "cached_postings", "complete")
+                 "rows_by_term", "cached_postings", "complete", "term_runs",
+                 "global_doc_lens")
 
     def __init__(self, tmeta, smeta, bc_shards):
         self.tmeta = tmeta
         self.smeta = smeta
         self.bc_shards = bc_shards
         self.n_shards = len(smeta)
+        # global doc-length array indexed by docID: lets unweighted
+        # queries traverse ONE virtual shard — one kernel invocation per
+        # query instead of one per shard. Span-aligned builds leave docID
+        # gaps at bucket boundaries; gap slots stay 0 and never appear in
+        # any posting list. Requires only non-overlapping shard ranges.
+        bases = sorted(smeta.values(), key=lambda m: m[0])
+        prev_end, ok = 0, True
+        for b, dl in bases:
+            if b < prev_end:
+                ok = False
+                break
+            prev_end = b + dl.size
+        if ok and bases:
+            g = np.zeros(prev_end, dtype=np.int64)
+            for b, dl in bases:
+                g[b:b + dl.size] = dl
+            self.global_doc_lens = g
+        else:
+            self.global_doc_lens = None
         self.rows_by_term: dict[str, dict] = {}
         self.cached_postings = 0
         # True when the ENTIRE index's posting rows are resident (small
         # indexes prefetch at state build, the reference's load-up-front
         # model) — per-query fetch jobs and eviction are then skipped.
         self.complete = False
+        # unweighted _TermRun reuse across queries, keyed (term_id,
+        # shard_id): a run is immutable except its lazily-decoded
+        # docs/tfs arrays, so repeat terms skip the block decode — the
+        # reference's cursors likewise read the same in-memory lists on
+        # every query. Evicted together with rows_by_term.
+        self.term_runs: dict[tuple[int, int], object] = {}
 
 
 def _serve_state(index):
@@ -558,16 +615,27 @@ def _topk_search_serve(index, queries: list[str], k: int, algorithm: str,
             df=pdf["term_id"].map(lambda t: term_stats[int(t)][0]),
             cf=pdf["term_id"].map(lambda t: term_stats[int(t)][1]))
 
-    def _kernel_over_shards(shard_rows, doc_lens_of):
+    def _kernel_over_shards(shard_rows, doc_lens_of, run_cache=None):
         """Run the traversal kernels for every (shard, query); shard_rows:
-        iterable of (shard_id, [row, ...])."""
+        iterable of (shard_id, [row, ...]). run_cache (driver mode only):
+        (term_id, shard_id) -> _TermRun memo so repeat terms skip block
+        decode across calls (runs are immutable; unweighted only)."""
         out_q, out_d, out_s = [], [], []
         for sid, rows in shard_rows:
             shard_base, doc_lens = doc_lens_of(int(sid))
             by_query: dict[str, list] = {}
             for row in rows:
-                shared = None if weighted else _TermRun(
-                    row, scorer, stats, 1.0, False, codec)
+                if weighted:
+                    shared = None
+                elif run_cache is not None:
+                    rkey = (int(row.term_id), int(sid))
+                    shared = run_cache.get(rkey)
+                    if shared is None:
+                        shared = _TermRun(row, scorer, stats, 1.0, False,
+                                          codec)
+                        run_cache[rkey] = shared
+                else:
+                    shared = _TermRun(row, scorer, stats, 1.0, False, codec)
                 for qid, w in term_queries.get(int(row.term_id), ()):
                     r = shared if shared is not None else _TermRun(
                         row, scorer, stats, w, weighted, codec)
@@ -618,12 +686,68 @@ def _topk_search_serve(index, queries: list[str], k: int, algorithm: str,
                         break
                     rows = st.rows_by_term.pop(victim)
                     st.cached_postings -= sum(int(r.n) for r in rows.values())
-            shard_rows: dict[int, list] = {}
-            for t in tid_of_term:
-                for sid, row in st.rows_by_term.get(t, {}).items():
-                    shard_rows.setdefault(sid, []).append(row)
-            partial = _kernel_over_shards(shard_rows.items(),
-                                          lambda sid: st.smeta[sid])
+                    vtid = st.tmeta[victim][0]
+                    st.term_runs.pop((vtid, -1), None)
+                    for vsid in rows:
+                        st.term_runs.pop((vtid, int(vsid)), None)
+            if not weighted and st.global_doc_lens is not None:
+                # ---- whole-index traversal: every resident term's shard
+                # rows merge into ONE global run (memoized), and each query
+                # runs ONE kernel over the dense global doc space — the
+                # reference's single-cursor-set walk, vs one kernel per
+                # (shard, query). Identical ranking: same kernels, same
+                # float32 scores, docIDs/block metadata are absolute.
+                def _global_run(t: str):
+                    key = (tid_of_term[t], -1)
+                    g = st.term_runs.get(key)
+                    if g is None:
+                        rows = st.rows_by_term.get(t, {})
+                        sruns = [_TermRun(r, scorer, stats, 1.0, False,
+                                          codec) for r in rows.values()]
+                        if not sruns:
+                            return None
+                        g = (sruns[0] if len(sruns) == 1
+                             else _TermRun.merged(sruns))
+                        st.term_runs[key] = g
+                    return g
+
+                qid_terms: dict[str, list] = {}
+                for tid, qws in term_queries.items():
+                    for qid, _w in qws:
+                        qid_terms.setdefault(qid, []).append(tid)
+                term_of_tid = {tid_of_term[t]: t for t in tid_of_term}
+                gdl = st.global_doc_lens
+                out_q, out_d, out_s = [], [], []
+                for qid, tids in qid_terms.items():
+                    runs = [g for tid in tids
+                            if (g := _global_run(term_of_tid[tid]))]
+                    if not runs:
+                        continue
+                    docs_, scores_ = _run_kernel(
+                        algorithm, runs, k, scorer, stats, gdl, 0,
+                        range_span, float(thr.get(qid, 0.0)),
+                        n_query_terms=n_terms.get(qid))
+                    out_q.append(np.repeat(qid, docs_.size))
+                    out_d.append(docs_)
+                    out_s.append(scores_)
+                if out_q:
+                    partial = pd.DataFrame({
+                        "qid": np.concatenate(out_q),
+                        "doc_id": np.concatenate(out_d).astype(np.int64),
+                        "score": np.concatenate(out_s).astype(np.float32)})
+                else:
+                    partial = pd.DataFrame({
+                        "qid": pd.Series(dtype=object),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float32")})
+            else:
+                shard_rows: dict[int, list] = {}
+                for t in tid_of_term:
+                    for sid, row in st.rows_by_term.get(t, {}).items():
+                        shard_rows.setdefault(sid, []).append(row)
+                partial = _kernel_over_shards(shard_rows.items(),
+                                              lambda sid: st.smeta[sid],
+                                              run_cache=st.term_runs)
         else:
             # ---- distributed mode: kernels run executor-side in one
             # mapInPandas pass over the term-filtered postings (co-located

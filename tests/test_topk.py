@@ -319,3 +319,33 @@ def test_serve_prefetch_whole_index(index, queries):
                               with_urls=False).collect())
     assert again == base
     del index._serve_state
+
+
+def test_serve_global_run_identity(index, queries):
+    """The whole-index traversal (one merged run per term, one kernel per
+    query over the global doc space) must rank identically to the
+    per-shard kernel loop, for every pruned algorithm."""
+    from pisa_spark.operators import topk as T
+
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, round(float(r.score), 6))
+                      for r in rows)
+
+    for alg in ("block_max_wand", "maxscore", "block_max_maxscore",
+                "ranked_and"):
+        g = key(T.topk_search(index, queries, k=K, algorithm=alg,
+                              with_urls=False).collect())
+        st = index._serve_state
+        assert st.global_doc_lens is not None  # global path engaged
+        saved = st.global_doc_lens
+        st.global_doc_lens = None              # force per-shard loop
+        try:
+            p = key(T.topk_search(index, queries, k=K, algorithm=alg,
+                                  with_urls=False).collect())
+        finally:
+            st.global_doc_lens = saved
+        assert g == p, alg
+    del index._serve_state
