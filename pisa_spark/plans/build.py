@@ -237,18 +237,13 @@ def _quantize_postings(tf_full, cfg: IndexConfig, scorer, stats: dict):
 
 # --------------------------------------------------- global rank assignment
 
-def _footer_count(df) -> int | None:
-    """Row count from parquet footers (driver-side metadata reads — cheap on
-    local disk and on object stores alike); None when the plan isn't a plain
-    parquet scan. Saves the count() job _sample_cuts would otherwise run."""
+def _bare_parquet_files(df) -> list | None:
+    """Leaf parquet files when df's analyzed plan is pure column pruning
+    over one file relation. inputFiles() returns the leaf files even when
+    the plan has filters/limits/joins above the scan, where footer-derived
+    counts/samples would mis-state the post-filter data — so only a bare
+    scan (column pruning over one relation) takes these shortcuts."""
     try:
-        import pyarrow.parquet as pq
-
-        # inputFiles() returns the leaf files even when the plan has
-        # filters/limits/joins above the scan, where footer counts would
-        # overcount (and collapse _sample_cuts' sample fraction toward
-        # zero). Only take the shortcut for a bare scan: a plan whose
-        # analyzed tree is just column pruning over one relation.
         plan = df._jdf.queryExecution().analyzed().toString()
         bare = all(line.lstrip("+- :").startswith(
             ("Relation", "Project", "SubqueryAlias", "View"))
@@ -258,10 +253,81 @@ def _footer_count(df) -> int | None:
         files = df.inputFiles()
         if not files or not all(f.endswith(".parquet") for f in files):
             return None
+        return sorted(files)
+    except Exception:
+        return None
+
+
+def _footer_count(df) -> int | None:
+    """Row count from parquet footers (driver-side metadata reads — cheap on
+    local disk and on object stores alike); None when the plan isn't a plain
+    parquet scan. Saves the count() job _sample_cuts would otherwise run."""
+    files = _bare_parquet_files(df)
+    if files is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
         total = 0
         for f in files:
             total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
         return total
+    except Exception:
+        return None
+
+
+_CUT_SAMPLE_MAX_FILES = 64
+_CUT_SAMPLE_MAX_GROUPS = 256  # total row-group column reads across files
+
+
+def _arrow_cut_sample(df, col: str, need: int) -> list | None:
+    """Driver-side systematic sample of `col` read straight from the parquet
+    leaves with pyarrow — replaces the Spark sample job that billed a fixed
+    ~0.7-1.1 s scheduler+scan cost to every build at every cluster size
+    (RangePartitioner's sample job shape, without the job). Bounded at any
+    scale: at most _CUT_SAMPLE_MAX_FILES evenly spaced files are opened and
+    at most _CUT_SAMPLE_MAX_GROUPS row groups' `col` column is read in
+    total (evenly spaced within each file, incl. first and last — a file
+    sorted by `col` must contribute samples from its whole key range or
+    the cuts skew), strided down to a per-file quota — bounded column
+    reads however large the table. Returns None (caller falls back to the Spark sample
+    job) for non-parquet lineage, filtered plans, schema mismatch, or any
+    read error. Cut quality only affects bucket BALANCE, never rank
+    correctness (assign_rank_ids computes exact global ranks within any
+    bucketing), and the 4x-buckets-per-partition layout absorbs sampling
+    error."""
+    files = _bare_parquet_files(df)
+    if not files:
+        return None
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        if len(files) > _CUT_SAMPLE_MAX_FILES:
+            step = len(files) / _CUT_SAMPLE_MAX_FILES
+            files = [files[int(i * step)]
+                     for i in range(_CUT_SAMPLE_MAX_FILES)]
+        per_file = max(8, -(-need * 2 // len(files)))
+        vals: list = []
+        for f in files:
+            pf = pq.ParquetFile(f.removeprefix("file:"))
+            if col not in pf.schema_arrow.names:
+                return None
+            ngr = pf.metadata.num_row_groups
+            if ngr <= 0:
+                continue
+            k = min(ngr, max(4, _CUT_SAMPLE_MAX_GROUPS // len(files)))
+            picks = sorted({round(i * (ngr - 1) / max(1, k - 1))
+                            for i in range(k)})
+            quota = -(-per_file // len(picks))
+            for g in picks:
+                arr = pf.read_row_group(g, columns=[col]).column(0)
+                n = len(arr)
+                if n == 0:
+                    continue
+                stride = max(1, n // quota)
+                vals.extend(arr.take(np.arange(0, n, stride)).to_pylist())
+        return vals
     except Exception:
         return None
 
@@ -275,6 +341,16 @@ def _sample_cuts(df, col: str, parts: int, per_part: int = 48,
     sizes the sample fraction)."""
     if parts <= 1:
         return []
+    arrow_vals = _arrow_cut_sample(df, col, parts * per_part)
+    if arrow_vals is not None and len(arrow_vals) >= parts * 4:
+        vals = sorted(v for v in arrow_vals if v is not None)
+        cuts: list = []
+        for i in range(1, parts):
+            c = vals[min(len(vals) - 1, (i * len(vals)) // parts)] \
+                if vals else None
+            if c is not None and (not cuts or c > cuts[-1]):
+                cuts.append(c)
+        return cuts
     cnt = approx_count if approx_count is not None else df.count()
     if cnt == 0:
         return []
@@ -608,8 +684,10 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     else:
         # 4x more buckets than partitions: round-robin placement gives each
         # partition ~4 equal buckets, averaging out cut-sampling error
-        cuts = _sample_cuts(docs_df.select(F.col(url_col).alias("url")),
-                            "url", parts * 4,
+        # sampled under the SOURCE column name so the pyarrow footer path
+        # can match the file schema; cut points are plain values, the
+        # downstream bucket expression applies them to the aliased column
+        cuts = _sample_cuts(docs_df.select(url_col), url_col, parts * 4,
                             approx_count=_footer_count(docs_df))
         _phase("url_cuts")
         tokenized = doc_term_counts(src, cfg, html_col=html_col)

@@ -363,3 +363,62 @@ def test_lexicon_driver_ids_identical_to_small_path(spark):
     qb = sorted(map(tuple, topk_search(
         idx_b, qs, k=10, algorithm="block_max_wand").collect()))
     assert qa == qb and qa
+
+
+def test_arrow_cut_sample_covers_sorted_file(spark, tmp_path):
+    """_arrow_cut_sample must sample the WHOLE key range of a parquet
+    file sorted by the cut column (evenly spaced row groups incl. first
+    and last), must refuse filtered plans, and the cuts it feeds
+    _sample_cuts must keep bucket balance sane."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pisa_spark.plans.build import _arrow_cut_sample, _sample_cuts
+
+    urls = [f"https://site-{i:06d}.example/page" for i in range(20000)]
+    path = str(tmp_path / "sorted.parquet")
+    pq.write_table(pa.table({"url": urls}), path, row_group_size=1000)
+
+    df = spark.read.parquet(path)
+    vals = _arrow_cut_sample(df, "url", 256)
+    assert vals is not None and len(vals) >= 256
+    # samples span the key range: something from the first and last 15%
+    lo, hi = urls[3000], urls[17000]
+    assert min(vals) < lo and max(vals) > hi
+
+    # filtered plan => no shortcut (footer sample would mis-state data)
+    assert _arrow_cut_sample(df.filter("url > 'https://site-1'"),
+                             "url", 64) is None
+    # missing column => no shortcut
+    assert _arrow_cut_sample(df, "nope", 64) is None
+
+    # end-to-end: cuts from the arrow path divide the sorted file evenly
+    cuts = _sample_cuts(df, "url", 8)
+    assert 4 <= len(cuts) <= 7
+    import bisect
+
+    counts = [0] * (len(cuts) + 1)
+    for u in urls:
+        counts[bisect.bisect_right(cuts, u)] += 1
+    assert max(counts) < 2.5 * (len(urls) / len(counts))
+
+
+def test_build_on_parquet_matches_inmemory(spark, tmp_path):
+    """A build whose cuts come from the driver-side arrow sampler must
+    produce the same lexicon and query results as the same corpus built
+    from an in-memory DataFrame (which takes the Spark sample path)."""
+    docs = webtext.generate(spark, 600, seed=47)
+    path = str(tmp_path / "corpus")
+    docs.write.parquet(path)
+    cfg = IndexConfig(shard_span=64)
+    idx_mem = build_index(docs, cfg, html_col="html")
+    idx_pq = build_index(spark.read.parquet(path), cfg, html_col="html")
+    lex_a = sorted(map(tuple, idx_mem.lexicon.collect()))
+    lex_b = sorted(map(tuple, idx_pq.lexicon.collect()))
+    assert lex_a == lex_b and lex_a
+    qs = webtext.synth_queries(8, seed=7)
+    qa = sorted(map(tuple, topk_search(
+        idx_mem, qs, k=10, algorithm="block_max_wand").collect()))
+    qb = sorted(map(tuple, topk_search(
+        idx_pq, qs, k=10, algorithm="block_max_wand").collect()))
+    assert qa == qb and qa
