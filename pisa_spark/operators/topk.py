@@ -172,11 +172,57 @@ class _TermRun:
             return F32(0.0)
         return F32(self.blk_ub[b0:b1 + 1].max())
 
+    def _range_block_spans(self, los: np.ndarray,
+                           his: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """blocks_overlapping vectorized over ascending [lo, hi) ranges."""
+        nblk = self.blk_last.size
+        b0 = np.searchsorted(self.blk_last, los, "left")
+        b1 = np.minimum(np.searchsorted(self.blk_last, his - 1, "left"),
+                        nblk - 1)
+        return b0, b1
+
+    def spans_nonempty(self, los: np.ndarray, his: np.ndarray) -> np.ndarray:
+        nblk = self.blk_last.size
+        if nblk == 0:
+            return np.zeros(los.size, dtype=bool)
+        b0, b1 = self._range_block_spans(los, his)
+        return (b0 < nblk) & (b0 <= b1)
+
+    def range_ubs_batch(self, los: np.ndarray, his: np.ndarray) -> np.ndarray:
+        """range_ub vectorized over many ranges: per-range interval max of
+        blk_ub via one padded maximum.reduceat (bit-identical to the scalar
+        slice-max — f32 max is order-independent)."""
+        nblk = self.blk_last.size
+        if nblk == 0:
+            return np.zeros(los.size, dtype=F32)
+        b0, b1 = self._range_block_spans(los, his)
+        empty = (b0 >= nblk) | (b0 > b1)
+        padded = np.concatenate((self.blk_ub, np.zeros(1, dtype=F32)))
+        ind = np.empty(2 * los.size, dtype=np.intp)
+        ind[0::2] = np.minimum(b0, nblk)
+        ind[1::2] = b1 + 1
+        # even slots reduce over [b0, b1+1) == the block span; odd slots are
+        # inter-range garbage and are discarded
+        out = np.maximum.reduceat(padded, ind)[0::2]
+        out[empty] = F32(0.0)
+        return out.astype(F32, copy=False)
+
     def docs_in(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         docs, tfs = self.decode_all()
         i0 = np.searchsorted(docs, lo, "left")
         i1 = np.searchsorted(docs, hi, "left")
         return docs[i0:i1], tfs[i0:i1]
+
+    def docs_in_batch(self, los: np.ndarray, his: np.ndarray) -> np.ndarray:
+        """Docs present in ANY of the disjoint [lo, hi) ranges, in one pass
+        (batched searchsorted + interval difference-mask)."""
+        docs, _ = self.decode_all()
+        i0 = np.searchsorted(docs, los, "left")
+        i1 = np.searchsorted(docs, his, "left")
+        mark = np.zeros(docs.size + 1, dtype=np.int32)
+        np.add.at(mark, i0, 1)
+        np.add.at(mark, i1, -1)
+        return docs[np.cumsum(mark[:-1]) > 0]
 
     def doc_term_ub(self, doc_ids: np.ndarray) -> np.ndarray:
         """Per-doc upper bound using the TERM max score for docs present in
@@ -316,27 +362,66 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
         topk.merge(all_docs[pos], scores[pos])
         return topk.docs, topk.scores
 
-    for r_idx in _active_ranges(runs, shard_base, shard_end, range_span):
-        lo = shard_base + int(r_idx) * range_span
-        hi = min(lo + range_span, shard_end)
+    ridx = _active_ranges(runs, shard_base, shard_end, range_span)
+    if ridx.size == 0:
+        return topk.docs, topk.scores
+    los = shard_base + ridx * range_span
+    his = np.minimum(los + range_span, shard_end)
+    # per-(run, range) upper bounds, vectorized across ALL ranges up front
+    # (one searchsorted pair + one reduceat per run instead of four numpy
+    # calls per run per range)
+    if algorithm == "wand":
+        # plain WAND: per-term bounds only (no block-max refinement)
+        ub_mat = np.stack([
+            np.where(run.spans_nonempty(los, his), run.ub, F32(0.0))
+            for run in runs]).astype(F32, copy=False)
+    else:
+        ub_mat = np.stack([run.range_ubs_batch(los, his) for run in runs])
+    sum_ub = ub_mat.sum(axis=0, dtype=F32)
+    if counters is None:
+        # hot path: visit ranges in DESCENDING bound order so theta converges
+        # in the first few ranges and the rest bulk-prune via early exit.
+        # Result-identical to docID order: a doc whose exact score reaches the
+        # true k-th score is never discarded (theta <= true k-th throughout,
+        # final filtering is exact canonical scores), and the caller's
+        # (score desc, doc asc) rank cut is order-independent.
+        visit = np.argsort(-sum_ub, kind="stable")
+        descending = True
+        if algorithm == "block_max_wand" and visit.size > 12:
+            # two-wave BMW: a short sequential head converges theta, then
+            # every remaining live range is processed in ONE vectorized bulk
+            # pass below (per-doc block bounds + one canonical scoring) —
+            # removes the per-range Python loop from the hot serve path.
+            # Safe: the bulk prune uses the head's theta, which can only be
+            # <= the fully-sequential theta, so it scores a superset of the
+            # sequential candidates; exact canonical scores decide the rest.
+            bulk_tail = visit[8:]
+            visit = visit[:8]
+        else:
+            bulk_tail = None
+    else:
+        bulk_tail = None
+        # profile mode keeps the reference's docID-order walk so the
+        # visited/skipped counters keep their published semantics
+        # (tools/profile_queries.cpp range loop)
+        visit = np.arange(ridx.size)
+        descending = False
+    for j in visit:
+        lo = int(los[j])
+        hi = int(his[j])
         # pruning threshold with a few float32 ulps of slack: upper-bound
         # sums accumulate in a different order than canonical scores, so an
         # exactly-tied doc's bound can round 1 ulp below theta. Final
         # filtering uses exact canonical scores, so results stay exact.
         prune = topk.theta * F32(1.0 - 1e-6)
-        if algorithm == "wand":
-            # plain WAND: per-term bounds only (no block-max refinement)
-            ubs = np.array(
-                [run.ub if run.blocks_overlapping(lo, hi)[0]
-                 <= run.blocks_overlapping(lo, hi)[1] else F32(0.0)
-                 for run in runs], dtype=F32)
-        else:
-            ubs = np.array([run.range_ub(lo, hi) for run in runs], dtype=F32)
-        order = np.argsort(ubs, kind="stable")
+        ubs = ub_mat[:, j]
         c["ranges"] += 1
-        if ubs.sum(dtype=F32) < prune or not (ubs > 0).any():
+        if sum_ub[j] < prune or not (ubs > 0).any():
             c["ranges_skipped"] += 1
+            if descending:
+                break  # every remaining range has an equal-or-smaller bound
             continue  # whole range cannot beat theta (block-max range skip)
+        order = np.argsort(ubs, kind="stable")
 
         if algorithm in ("block_max_wand", "wand"):
             cand = np.unique(np.concatenate(
@@ -421,6 +506,26 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
         c["docs_scored"] += int(cand.size)
         keep = (scores >= topk.theta) & (scores > 0)
         topk.merge(cand[keep], scores[keep])
+
+    if bulk_tail is not None and bulk_tail.size:
+        prune = topk.theta * F32(1.0 - 1e-6)
+        live = bulk_tail[(sum_ub[bulk_tail] >= prune)
+                         & (sum_ub[bulk_tail] > 0)]
+        if live.size:
+            blos, bhis = los[live], his[live]
+            cand = np.unique(np.concatenate(
+                [run.docs_in_batch(blos, bhis) for run in runs]))
+            if cand.size:
+                bound = np.zeros(cand.size, dtype=F32)
+                for run in runs:
+                    bound += run.doc_block_ub(cand)
+                cand = cand[bound >= prune]
+            if cand.size:
+                scores = _canonical_scores(cand, runs, scorer, stats,
+                                           doc_lens, shard_base)
+                c["docs_scored"] += int(cand.size)
+                keep = (scores >= topk.theta) & (scores > 0)
+                topk.merge(cand[keep], scores[keep])
     return topk.docs, topk.scores
 
 
