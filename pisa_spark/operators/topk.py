@@ -387,14 +387,18 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
         # (score desc, doc asc) rank cut is order-independent.
         visit = np.argsort(-sum_ub, kind="stable")
         descending = True
-        if algorithm == "block_max_wand" and visit.size > 12:
-            # two-wave BMW: a short sequential head converges theta, then
-            # every remaining live range is processed in ONE vectorized bulk
-            # pass below (per-doc block bounds + one canonical scoring) —
-            # removes the per-range Python loop from the hot serve path.
-            # Safe: the bulk prune uses the head's theta, which can only be
-            # <= the fully-sequential theta, so it scores a superset of the
-            # sequential candidates; exact canonical scores decide the rest.
+        if algorithm in ("block_max_wand", "wand", "maxscore",
+                         "block_max_maxscore") and visit.size > 12:
+            # two-wave pruning for the disjunctive algorithms: a short
+            # sequential head converges theta, then every remaining live
+            # range is processed in ONE vectorized bulk pass below (per-doc
+            # bounds + one canonical scoring) — removes the per-range Python
+            # loop from the hot serve path. Safe: the bulk prune uses the
+            # head's theta, which can only be <= the fully-sequential theta,
+            # so it scores a superset of the sequential candidates; exact
+            # canonical scores decide the rest. Conjunctive algorithms keep
+            # the per-range walk (their candidate SET depends on the
+            # intersection semantics, not just pruning).
             bulk_tail = visit[8:]
             visit = visit[:8]
         else:
@@ -516,9 +520,14 @@ def _run_kernel(algorithm: str, runs: list[_TermRun], k: int, scorer, stats,
             cand = np.unique(np.concatenate(
                 [run.docs_in_batch(blos, bhis) for run in runs]))
             if cand.size:
+                # per-doc bound at each algorithm's own granularity: block
+                # max for the block-max family, term max for wand/maxscore
+                block_refined = algorithm in ("block_max_wand",
+                                              "block_max_maxscore")
                 bound = np.zeros(cand.size, dtype=F32)
                 for run in runs:
-                    bound += run.doc_block_ub(cand)
+                    bound += (run.doc_block_ub(cand) if block_refined
+                              else run.doc_term_ub(cand))
                 cand = cand[bound >= prune]
             if cand.size:
                 scores = _canonical_scores(cand, runs, scorer, stats,
