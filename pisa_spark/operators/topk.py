@@ -1083,22 +1083,39 @@ def topk_search_batch(index, queries: list[str], k: int = 10,
     spark = index.lexicon.sparkSession
     stats = dict(index.stats)
     scorer = make_scorer(cfg.scorer, cfg.scorer_params())
-    if isinstance(queries, list):
-        qterms = make_query_terms_df(spark, queries, cfg)
-    else:
-        qterms = queries
 
-    qrows = (qterms.join(
-        index.lexicon.select("term", "term_id", "df", "cf"), "term")
-        .select("qid", "term_id", "weight", "df", "cf").collect())
+    # ---- query analysis: when the driver-resident serve state exists
+    # (lexicon + shard metadata cached, same bounds as the interactive
+    # path), analyze driver-side — zero Spark jobs before the main pass.
+    # The reference's evaluate_queries likewise resolves terms against the
+    # loaded lexicon before any evaluation (evaluate_queries.cpp:79-101).
+    st = _serve_state(index) if isinstance(queries, list) else None
     term_queries: dict[int, list] = {}
     term_stats: dict[int, tuple] = {}
     n_terms: dict[str, int] = {}
-    for r in qrows:
-        term_queries.setdefault(int(r["term_id"]), []).append(
-            (r["qid"], float(r["weight"])))
-        term_stats[int(r["term_id"])] = (int(r["df"]), int(r["cf"]))
-        n_terms[r["qid"]] = n_terms.get(r["qid"], 0) + 1
+    tid_of_term: dict[str, int] = {}
+    if st is not None:
+        for qid, term, w in analyze_query_terms(queries, cfg):
+            n_terms.setdefault(qid, 0)
+            meta = st.tmeta.get(term)
+            if meta is None:
+                continue  # unknown term dropped (query_parser.cpp:33-38)
+            tid, df_, cf_ = meta
+            tid_of_term[term] = tid
+            term_queries.setdefault(tid, []).append((qid, float(w)))
+            term_stats[tid] = (df_, cf_)
+            n_terms[qid] += 1
+    else:
+        qterms = (make_query_terms_df(spark, queries, cfg)
+                  if isinstance(queries, list) else queries)
+        qrows = (qterms.join(
+            index.lexicon.select("term", "term_id", "df", "cf"), "term")
+            .select("qid", "term_id", "weight", "df", "cf").collect())
+        for r in qrows:
+            term_queries.setdefault(int(r["term_id"]), []).append(
+                (r["qid"], float(r["weight"])))
+            term_stats[int(r["term_id"])] = (int(r["df"]), int(r["cf"]))
+            n_terms[r["qid"]] = n_terms.get(r["qid"], 0) + 1
     bc = spark.sparkContext.broadcast(
         (term_queries, term_stats, n_terms, dict(thresholds or {})))
 
@@ -1106,24 +1123,47 @@ def topk_search_batch(index, queries: list[str], k: int = 10,
                                                    round_robin_expr)
 
     parts = spark.sparkContext.defaultParallelism
-    vals = partition_values(spark, parts)
     wanted = list(term_stats)
-    # shards -> partitions round-robin: shard ids are dense ints, and raw
-    # hash placement would idle ~1/e of the executors when shards ~ cores
-    posts = (index.postings.filter(F.col("term_id").isin(wanted))
-             .join(index.shards.select(
-                 "shard_id", F.col("base_doc").alias("shard_base"),
-                 "doc_lens"), "shard_id")
-             .repartition(parts,
-                          round_robin_expr(F.col("shard_id"), parts, vals))
-             .sortWithinPartitions("shard_id", "term_id"))
+    enc_str = getattr(index, "postings_str", None)
+    smeta_bc = st.bc_shards if st is not None else None
+    if st is not None and enc_str is not None:
+        # string-keyed rows: the id-keyed postings view is a lazy broadcast
+        # join whose lexicon broadcast would be rebuilt on every batch job
+        posts = enc_str.filter(F.col("term").isin(list(tid_of_term)))
+    elif st is not None:
+        posts = index.postings.filter(F.col("term_id").isin(wanted))
+    else:
+        posts = (index.postings.filter(F.col("term_id").isin(wanted))
+                 .join(index.shards.select(
+                     "shard_id", F.col("base_doc").alias("shard_base"),
+                     "doc_lens"), "shard_id"))
+    if getattr(index, "postings_colocated", False) and smeta_bc is not None:
+        # docwise-encoded buckets already hold whole shards: coalesce
+        # merges partitions without splitting them, so the shuffle the
+        # repartition below pays is skipped entirely
+        posts = (posts.coalesce(parts)
+                 .sortWithinPartitions("shard_id"))
+    else:
+        # shards -> partitions round-robin: shard ids are dense ints, and
+        # raw hash placement would idle ~1/e of the executors when
+        # shards ~ cores
+        vals = partition_values(spark, parts)
+        posts = (posts.repartition(
+            parts, round_robin_expr(F.col("shard_id"), parts, vals))
+            .sortWithinPartitions("shard_id"))
 
     codec = cfg.codec
 
     def run_shard(pdf: pd.DataFrame):
         tq, tstats, ntq, thr = bc.value
-        doc_lens = np.asarray(pdf["doc_lens"].iat[0], dtype=np.int64)
-        shard_base = int(pdf["shard_base"].iat[0])
+        if smeta_bc is not None:
+            shard_base, doc_lens = smeta_bc.value[int(pdf["shard_id"].iat[0])]
+        else:
+            doc_lens = np.asarray(pdf["doc_lens"].iat[0], dtype=np.int64)
+            shard_base = int(pdf["shard_base"].iat[0])
+        if "term" in pdf.columns:
+            pdf = pdf.assign(
+                term_id=pdf["term"].map(tid_of_term)).drop(columns=["term"])
         pdf = pdf.assign(
             df=pdf["term_id"].map(lambda t: tstats[int(t)][0]),
             cf=pdf["term_id"].map(lambda t: tstats[int(t)][1]),
