@@ -349,3 +349,26 @@ def test_serve_global_run_identity(index, queries):
             st.global_doc_lens = saved
         assert g == p, alg
     del index._serve_state
+
+
+def test_batch_executor_join_fallback_identity(index, queries, monkeypatch):
+    """topk_search_batch's join-based plan (used for DataFrame query sets
+    and indexes above the driver serve bounds) returns exactly what the
+    serve-state fast path returns."""
+    from pisa_spark.operators import topk as T
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, round(float(r.score), 6))
+                      for r in rows)
+
+    fast = key(T.topk_search_batch(index, queries, k=K,
+                                   algorithm="block_max_wand").collect())
+    monkeypatch.setattr(T, "SERVE_MAX_DOCS", 0)
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
+    fallback = key(T.topk_search_batch(index, queries, k=K,
+                                       algorithm="block_max_wand").collect())
+    assert fallback == fast
+    monkeypatch.undo()
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
