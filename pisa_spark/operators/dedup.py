@@ -350,7 +350,7 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
 # ------------------------------------------------- duplicate clusters (CC)
 
 def dedup_clusters(pairs, left: str = "doc_a", right: str = "doc_b",
-                   max_iters: int = 50):
+                   max_iters: int = 50, checkpoint_dir: str | None = None):
     """Resolve candidate duplicate PAIRS into duplicate CLUSTERS.
 
     Returns (doc_id, cluster_id) for every doc appearing in at least one
@@ -371,30 +371,75 @@ def dedup_clusters(pairs, left: str = "doc_a", right: str = "doc_b",
     iteration, never self-joined (the pattern that blows up size-stats
     estimation on iterative plans).
 
+    checkpoint_dir: parquet-backed RELIABLE iteration state (manifest +
+    alternating label slots). localCheckpoint blocks are executor-local:
+    on a real cluster a lost executor invalidates them and the loop must
+    restart from scratch. With checkpoint_dir every iteration's labels
+    land durably before the state advances, so a killed/restarted run
+    resumes at the iteration it died in — the right mode for very large
+    or unreliable clusters. Crash-safe by construction: the state metric
+    is written AFTER the slot's parquet commit, and a half-written slot
+    is discarded and rebuilt on resume (same BuildManifest semantics as
+    the resumable index build).
+
     The same closure is ANSI-SQL-expressible as a recursive CTE, which is
     the DuckDB oracle twin (driver entry `dedup_clusters`).
     """
     e = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst"))).distinct()
-    edges = edges.persist()
+    sym = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))).distinct()
+
+    def step(edges, labels):
+        neigh = (edges.join(labels, edges.dst == labels.id)
+                      .groupBy("src").agg(F.min("lbl").alias("nmin")))
+        return (labels.join(neigh, labels.id == neigh.src, "left")
+                      .select(labels.id,
+                              F.least("lbl", "nmin").alias("lbl")))
+
+    def changed_count(new_labels, labels):
+        return (new_labels.alias("n").join(labels.alias("o"), "id")
+                .filter(F.col("n.lbl") < F.col("o.lbl")).count())
+
+    out_cols = (F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+    if checkpoint_dir is not None:
+        from pisa_spark.plans.checkpoint import BuildManifest
+
+        spark = pairs.sparkSession
+        m = BuildManifest(checkpoint_dir)
+        if not m.done("cc_edges"):
+            m.write_df("cc_edges", sym)
+        edges = m.read_df(spark, "cc_edges")
+        state = m.state["metrics"].get("cc_state")
+        if state is None:
+            m.write_df("cc_labels_0",
+                       edges.select(F.col("src").alias("id")).distinct()
+                            .withColumn("lbl", F.col("id")))
+            state = {"iter": 0, "slot": 0, "converged": False}
+            m.record_metric("cc_state", state)
+        labels = m.read_df(spark, f"cc_labels_{state['slot']}")
+        while not state["converged"] and state["iter"] < max_iters:
+            nxt = 1 - state["slot"]
+            # new labels read from the CURRENT slot's files, write to the
+            # other slot — never overwrite a parquet path being read
+            m.write_df(f"cc_labels_{nxt}", step(edges, labels))
+            new_labels = m.read_df(spark, f"cc_labels_{nxt}")
+            state = {"iter": state["iter"] + 1, "slot": nxt,
+                     "converged": changed_count(new_labels, labels) == 0}
+            m.record_metric("cc_state", state)
+            labels = new_labels
+        return labels.select(*out_cols)
+
+    edges = sym.persist()
     labels = edges.select(F.col("src").alias("id")).distinct() \
                   .withColumn("lbl", F.col("id")).localCheckpoint()
     try:
         for _ in range(max_iters):
-            neigh = (edges.join(labels, edges.dst == labels.id)
-                          .groupBy("src").agg(F.min("lbl").alias("nmin")))
-            new_labels = (labels.join(neigh, labels.id == neigh.src, "left")
-                                .select(labels.id,
-                                        F.least("lbl", "nmin").alias("lbl"))
-                          ).localCheckpoint()
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "id")
-                       .filter(F.col("n.lbl") < F.col("o.lbl")).count())
+            new_labels = step(edges, labels).localCheckpoint()
+            changed = changed_count(new_labels, labels)
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(F.col("id").alias("doc_id"),
-                             F.col("lbl").alias("cluster_id"))
+        return labels.select(*out_cols)
     finally:
         edges.unpersist()

@@ -322,3 +322,38 @@ def test_dedup_clusters_vs_union_find(spark):
     assert got == expected
     # canonical-representative convention: cluster_id is a member and min
     assert all(cid in got and cid <= d for d, cid in got.items())
+
+
+def test_dedup_clusters_reliable_checkpoint_resume(spark, tmp_path):
+    """checkpoint_dir mode: (a) results identical to the in-memory loop,
+    (b) a run killed mid-loop resumes from durable state — simulated by
+    pre-running a bounded number of iterations, then calling again with
+    the same checkpoint_dir — and (c) the resumed run does not restart
+    from iteration 0 (the manifest's iteration counter advances)."""
+    import json
+    import os
+
+    edges = ([(i, i + 1) for i in range(100, 110)]      # diameter-10 chain
+             + [(7, 3), (7, 5), (7, 9)]
+             + [(200, 201)])
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    expected = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.dedup_clusters(df).collect()}
+
+    ckpt = str(tmp_path / "cc_state")
+    # (b) partial run: 3 iterations is far short of the chain's diameter
+    partial = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dedup_clusters(
+                   df, max_iters=3, checkpoint_dir=ckpt).collect()}
+    assert partial != expected  # genuinely unconverged at the cut
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        state = json.load(f)["metrics"]["cc_state"]
+    assert state["iter"] == 3 and not state["converged"]
+    # resume: picks up at iteration 3 and converges
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(
+               df, checkpoint_dir=ckpt).collect()}
+    assert got == expected
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        state = json.load(f)["metrics"]["cc_state"]
+    assert state["converged"] and state["iter"] > 3
