@@ -95,5 +95,26 @@ class IndexConfig:
             "c": self.pl2_c,
         }
 
+    # --- manifest (de)serialization: a persisted index must reload with
+    # the config it was BUILT with (codec/block layout/analyzer chain are
+    # baked into the artifacts — the reference likewise encodes them in
+    # its binary formats). frozenset <-> sorted list for JSON.
+    def to_json_dict(self) -> dict:
+        from dataclasses import asdict
+
+        d = asdict(self)
+        d["stopwords"] = sorted(d["stopwords"])
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "IndexConfig":
+        import dataclasses
+
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
+        if "stopwords" in d:
+            d["stopwords"] = frozenset(d["stopwords"])
+        return cls(**d)
+
 
 DEFAULT_CONFIG = IndexConfig()

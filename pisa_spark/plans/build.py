@@ -1216,6 +1216,10 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     if manifest:
         manifest.record_metric("build_seconds", round(time.time() - t_start, 3))
         manifest.record_metric("num_docs", stats["num_docs"])
+        # the artifacts are only readable with the config that wrote them
+        # (codec, block layout, analyzer chain) — persist it so load_index
+        # restores it without the caller re-stating build flags
+        manifest.record_metric("index_config", cfg.to_json_dict())
 
     return InvertedIndex(docs=docs, lexicon=lexicon, postings=postings,
                          shards=shards, stats=stats, cfg=cfg,
@@ -1223,8 +1227,16 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
                          postings_str=enc_str_handle)
 
 
-def load_index(spark, out_dir: str, cfg: IndexConfig = DEFAULT_CONFIG) -> InvertedIndex:
+def load_index(spark, out_dir: str,
+               cfg: IndexConfig | None = None) -> InvertedIndex:
+    """Load a persisted index. cfg=None restores the config the index was
+    BUILT with from the manifest (codec/block layout/analyzer chain are
+    baked into the artifacts); pass a cfg only to override deliberately."""
     manifest = BuildManifest(out_dir)
+    if cfg is None:
+        saved = manifest.state.get("metrics", {}).get("index_config")
+        cfg = (IndexConfig.from_json_dict(saved) if saved
+               else DEFAULT_CONFIG)
     # postings/bucket=N subdirs surface as a partition column; drop it
     postings = spark.read.parquet(manifest.artifact_path("postings"))
     if "bucket" in postings.columns:
