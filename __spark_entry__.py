@@ -21,10 +21,10 @@ Cross-engine determinism rules used throughout:
 The float32 reference-faithful scoring path (index + pruned executors) is
 oracle-checked on its RANK surface (the pruned executors share the
 exhaustive BM25 SQL projected to (qid, doc_id, rank)) and further pinned by
-the pytest rank-identity suite (tests/test_topk.py). The five remaining
-rows-only entries (lsh_ann_topk, stemmed_token_stats, taily_stats,
-profile_queries, taily_thresholds) have no faithful SQL twin — each one's
-docstring says why.
+the pytest rank-identity suite (tests/test_topk.py). The six remaining
+rows-only entries (lsh_ann_topk, ivf_ann_topk, stemmed_token_stats,
+taily_stats, profile_queries, taily_thresholds) have no faithful SQL
+twin — each one's docstring says why.
 """
 
 from __future__ import annotations
@@ -451,6 +451,21 @@ def _q_lsh_ann_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate NN — k-means coarse quantizer + probed inverted
+    lists + exact rerank (rows-only: the trained centroids have no SQL
+    twin; recall and returned-score exactness vs cosine_topk are pinned
+    by tests/test_pipeline_ops, and nprobe=nlists equals the exact oracle
+    there)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.similarity import ivf_ann_topk
+
+    out = ivf_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10,
+                       nlists=8, nprobe=4, train_sample=2000, iters=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_lang_id(spark, sf_dir):
     from pisa_spark.operators.textstats import language_id
 
@@ -663,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_stats": _q_token_stats,

@@ -135,3 +135,113 @@ def lsh_ann_topk(embeddings, query_ids: list[int], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("qid", "vid", "cosine", "rank")
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+def _spherical_kmeans(mat: np.ndarray, nlists: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Deterministic spherical k-means (cosine assignment) on unit rows —
+    the coarse quantizer of an IVF index (Faiss IVF role re-expressed:
+    train driver-side on a bounded sample, assign executor-side)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.clip(norms, 1e-12, None)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(mat.shape[0], size=min(nlists, mat.shape[0]),
+                          replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, mat)
+        counts = np.bincount(assign, minlength=cent.shape[0])
+        empty = counts == 0
+        # empty list: keep the previous centroid (stays selectable)
+        new[empty] = cent[empty]
+        n2 = np.linalg.norm(new, axis=1, keepdims=True)
+        cent = new / np.clip(n2, 1e-12, None)
+    return cent.astype(np.float32)
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """pandas UDF: embedding -> nearest-centroid (cosine) list id. The
+    centroid matrix travels in the task closure (nlists x dim floats —
+    KBs), so assignment is one vectorized pass per Arrow batch."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float32)
+
+    def assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        mat = np.stack(vecs.to_numpy()).astype(np.float32)
+        mat = mat / np.clip(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return F.pandas_udf(assign, "int")
+
+
+def ivf_ann_topk(embeddings, query_ids: list[int], k: int = 10,
+                 nlists: int = 64, nprobe: int = 4,
+                 train_sample: int = 20000, iters: int = 5, seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF ANN top-k: k-means coarse quantizer + inverted lists + exact
+    cosine rerank inside the probed lists.
+
+    The scale path alongside lsh_ann_topk: centroids train driver-side on
+    a deterministic hash-sampled subset (one bounded job, <= train_sample
+    vectors), every vector is assigned its nearest list in one vectorized
+    UDF pass, and each query probes its `nprobe` nearest lists — the
+    candidate join is broadcast (query side is tiny by construction) and
+    touches ~nprobe/nlists of the corpus instead of all of it. Rerank is
+    the exact cosine expression, so returned scores are exact and recall
+    is the only approximation (raise nprobe to trade compute for recall).
+    """
+    from pyspark.sql import Window as W
+
+    e = embeddings.select(F.col(id_col).alias("vid"),
+                          F.col(vec_col).alias("v"),
+                          _norm(F.col(vec_col)).alias("nrm"))
+
+    # ---- train: deterministic hash-sampled subset, driver k-means
+    n_total = embeddings.count()
+    step = max(1, n_total // max(train_sample, 1))
+    sample_pdf = (e.filter(F.pmod(F.xxhash64("vid"), F.lit(step)) == 0)
+                  .select("vid", "v").orderBy("vid")
+                  .limit(train_sample).toPandas())
+    mat = np.stack(sample_pdf["v"].to_numpy()).astype(np.float32)
+    cent = _spherical_kmeans(mat, nlists, iters, seed)
+
+    # ---- assign inverted lists (one narrow UDF pass)
+    assigned = e.withColumn("list", ivf_assign_udf(cent)("v"))
+
+    # ---- probe: query vectors -> nprobe nearest centroids (driver; the
+    # query set is a small list by contract)
+    q_pdf = (e.filter(F.col("vid").isin(query_ids))
+             .select("vid", "v").toPandas())
+    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float32)
+    qmat = qmat / np.clip(np.linalg.norm(qmat, axis=1, keepdims=True),
+                          1e-12, None)
+    order = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")
+    probes = order[:, :min(nprobe, cent.shape[0])]
+    spark = embeddings.sparkSession
+    q_lists = spark.createDataFrame(
+        [(int(q), int(l)) for q, row in zip(q_pdf["vid"], probes)
+         for l in row],
+        "qid long, list int")
+
+    cand = (assigned.join(F.broadcast(q_lists), "list")
+            .filter(F.col("vid") != F.col("qid"))
+            .select("qid", "vid").distinct())
+    q = e.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = (cand.join(e, "vid").join(F.broadcast(q), "qid")
+              .select("qid", "vid",
+                      F.round(dot / (F.col("qn") * F.col("nrm")),
+                              6).alias("cosine")))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vid", "cosine", "rank"))

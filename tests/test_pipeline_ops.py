@@ -357,3 +357,35 @@ def test_dedup_clusters_reliable_checkpoint_resume(spark, tmp_path):
     with open(os.path.join(ckpt, "manifest.json")) as f:
         state = json.load(f)["metrics"]["cc_state"]
     assert state["converged"] and state["iter"] > 3
+
+
+def test_ivf_ann_recall_and_exact_scores(embeddings):
+    """IVF ANN: recall vs brute force at generous nprobe; returned cosines
+    are EXACT (rerank is the exact expression, approximation is only which
+    candidates are probed); nprobe=nlists degenerates to exhaustive search
+    (recall 1.0)."""
+    qids = list(range(8))
+    exact = similarity.cosine_topk(embeddings, qids, k=5).toPandas()
+    ann = similarity.ivf_ann_topk(embeddings, qids, k=5, nlists=8,
+                                  nprobe=4, train_sample=400,
+                                  iters=4).toPandas()
+    hits = tot = 0
+    for q in qids:
+        e = set(exact[exact.qid == q].vid)
+        a = set(ann[ann.qid == q].vid)
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.6  # near-random vectors, half the lists probed
+    # exactness of returned scores: every (qid, vid) ANN returns must carry
+    # the same cosine the exact path computes
+    key = exact.set_index(["qid", "vid"]).cosine
+    for r in ann.itertuples(index=False):
+        if (r.qid, r.vid) in key.index:
+            assert abs(key.loc[(r.qid, r.vid)] - r.cosine) < 1e-9
+    # all-lists probe == exhaustive
+    full = similarity.ivf_ann_topk(embeddings, qids, k=5, nlists=8,
+                                   nprobe=8, train_sample=400,
+                                   iters=4).toPandas()
+    a = full.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = exact.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert (a.vid.values == b.vid.values).all()
