@@ -199,6 +199,8 @@ def cmd_queries(args):
     spark = _spark(args)
     idx = _load_index(spark, args)
     qs = _queries(args)
+    if not qs:
+        raise SystemExit("query file is empty")
     for q in qs:  # untimed warm pass (reference: first run is warmup)
         topk_search(idx, [q], k=args.k, algorithm=args.algorithm,
                     with_urls=False).collect()
