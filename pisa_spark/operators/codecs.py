@@ -10,9 +10,11 @@ encode/decode run inside Arrow-batched pandas UDFs on whole numpy arrays.
   encodings are result-invariant, so rank-identity never depends on codec
   byte identity (test/docker/benchmark/encodings.sh runs all 14).
 - Elias-Fano: lo/hi split with l = max(0, floor(log2(u/n))) low bits, high
-  bits unary-gapped (codec/compact_elias_fano.hpp:21-137 semantics, minus
-  the skip-pointer machinery — Spark-side skipping happens at block/shard
-  granularity instead).
+  bits unary-gapped (codec/compact_elias_fano.hpp:21-137 semantics),
+  including the skip-pointer machinery: ef_encode(skips=True) appends
+  sampled select0/select1 pointers and EliasFanoReader answers select /
+  next_geq by scanning at most ~2^log_quantum high bits. Index traversal
+  additionally skips at block/shard granularity via block maxes.
 
 Posting docIDs are stored as continuous gap-1 streams (strictly increasing
 docs => gaps >= 1 => store gap-1, first value relative to base -1), mirroring
@@ -97,8 +99,20 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 
 # --------------------------------------------------------------- Elias-Fano
 
-def ef_encode(values: np.ndarray, universe: int) -> bytes:
-    """Encode a monotone non-decreasing uint64 array over [0, universe]."""
+def ef_encode(values: np.ndarray, universe: int, skips: bool = False,
+              log_quantum: int = 8) -> bytes:
+    """Encode a monotone non-decreasing uint64 array over [0, universe].
+
+    ``skips=True`` appends the skip-pointer trailer of the reference's
+    compact EF layout (codec/compact_elias_fano.hpp:21-137): sampled bit
+    positions of every ``2^log_quantum``-th zero (for ``next_geq`` — jump
+    straight to a value bucket) and of every ``2^log_quantum``-th one (for
+    ``select`` — jump straight to a rank). ``ef_decode`` ignores the
+    trailer (it slices low/high by their stored sizes), so skip-enabled
+    streams stay decode-compatible; the trailer is opt-in so the default
+    layout stays byte-identical to ``ef_encode_blocks``. Point access goes
+    through :class:`EliasFanoReader`.
+    """
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
     header = varint_encode(np.array([n, universe], dtype=np.uint64))
@@ -118,9 +132,224 @@ def ef_encode(values: np.ndarray, universe: int) -> bytes:
     hi = np.zeros(hi_nbits, dtype=np.uint8)
     hi[hi_pos] = 1
     high = np.packbits(hi, bitorder="little")
-    return header + bytes([l]) + varint_encode(
+    out = header + bytes([l]) + varint_encode(
         np.array([low.size, high.size], dtype=np.uint64)
     ) + low.tobytes() + high.tobytes()
+    if skips:
+        out += _ef_skip_trailer(hi, log_quantum)
+    return out
+
+
+def _ef_skip_trailer(hi_bits: np.ndarray, log_quantum: int) -> bytes:
+    """Build the sampled select0/select1 pointer section from the (unpacked)
+    high-bit array: [1B q][varint n0][1B w0][packed ptr0][varint n1][1B w1]
+    [packed ptr1], pointers LE-bitpacked at the minimal fixed width."""
+    q = 1 << log_quantum
+    zeros_pos = np.flatnonzero(hi_bits == 0)
+    ones_pos = np.flatnonzero(hi_bits)
+    ptr0 = zeros_pos[q - 1::q].astype(np.uint64)   # ((k+1)<<lq)-th zero
+    ptr1 = ones_pos[q - 1::q].astype(np.uint64)    # ((k+1)<<lq)-th one
+    out = bytes([log_quantum])
+    for ptrs in (ptr0, ptr1):
+        w = max(1, int(ptrs.max()).bit_length()) if ptrs.size else 1
+        out += varint_encode(np.array([ptrs.size], dtype=np.uint64))
+        out += bytes([w])
+        if ptrs.size:
+            bits = ((ptrs[:, None] >> np.arange(w, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.uint8)
+            out += np.packbits(bits.ravel(), bitorder="little").tobytes()
+    return out
+
+
+def _read_varints(b: np.ndarray, pos: int, k: int) -> tuple[list[int], int]:
+    vals = []
+    for _ in range(k):
+        val, shift = 0, 0
+        while True:
+            byte = int(b[pos]); pos += 1
+            val |= (byte & 0x7F) << shift
+            shift += 7
+            if not byte & 0x80:
+                break
+        vals.append(val)
+    return vals, pos
+
+
+class EliasFanoReader:
+    """Point access over an ``ef_encode`` stream without decoding it.
+
+    Mirrors the reference enumerator (compact_elias_fano.hpp:21-137):
+    ``select(i)`` returns the i-th value, ``next_geq(x)`` the first
+    ``(index, value)`` with ``value >= x`` — both by jumping through the
+    sampled skip pointers and scanning at most ~2^log_quantum high bits,
+    never touching the rest of the stream. Streams encoded without
+    ``skips=True`` still work: the pointer tables are rebuilt lazily from
+    the high bytes (one popcount pass, no value decode).
+    """
+
+    def __init__(self, buf: bytes):
+        b = np.frombuffer(buf, dtype=np.uint8)
+        (self.n, self.universe), pos = _read_varints(b, 0, 2)
+        if self.n == 0:
+            self.l = 0
+            self._low = self._high = b[:0]
+            self._ptr0 = self._ptr1 = np.zeros(0, dtype=np.int64)
+            self.log_quantum = 8
+            return
+        self.l = int(b[pos]); pos += 1
+        (low_size, high_size), pos = _read_varints(b, pos, 2)
+        self._low = b[pos:pos + low_size]; pos += low_size
+        self._high = b[pos:pos + high_size]; pos += high_size
+        if pos < b.size:                      # skip-pointer trailer present
+            self.log_quantum = int(b[pos]); pos += 1
+            ptrs = []
+            for _ in range(2):
+                (np_, ), pos = _read_varints(b, pos, 1)
+                w = int(b[pos]); pos += 1
+                nbytes = (np_ * w + 7) // 8
+                bits = np.unpackbits(b[pos:pos + nbytes],
+                                     bitorder="little")[:np_ * w]
+                vals = (bits.reshape(np_, w).astype(np.uint64)
+                        << np.arange(w, dtype=np.uint64)).sum(axis=1)
+                ptrs.append(vals.astype(np.int64))
+                pos += nbytes
+            self._ptr0, self._ptr1 = ptrs
+        else:                                 # legacy stream: rebuild lazily
+            self.log_quantum = 8
+            self._ptr0 = self._ptr1 = None
+
+    def __len__(self) -> int:
+        return self.n
+
+    def _ensure_ptrs(self) -> None:
+        if self._ptr0 is None:
+            hi_bits = np.unpackbits(self._high, bitorder="little")
+            q = 1 << self.log_quantum
+            self._ptr0 = np.flatnonzero(hi_bits == 0)[q - 1::q].astype(np.int64)
+            self._ptr1 = np.flatnonzero(hi_bits)[q - 1::q].astype(np.int64)
+
+    def _low_at(self, i: int) -> int:
+        if self.l == 0:
+            return 0
+        bit = i * self.l
+        lo_byte, hi_byte = bit >> 3, (bit + self.l + 7) >> 3
+        word = int.from_bytes(self._low[lo_byte:hi_byte].tobytes(), "little")
+        return (word >> (bit & 7)) & ((1 << self.l) - 1)
+
+    def _scan_bits(self, start_bit: int):
+        """Yield absolute positions of set bits from start_bit, chunk-wise."""
+        nbytes = self._high.size
+        byte = start_bit >> 3
+        first_mask = start_bit & 7
+        while byte < nbytes:
+            chunk = self._high[byte:byte + 64]
+            bits = np.unpackbits(chunk, bitorder="little")
+            if first_mask:
+                bits = bits.copy()
+                bits[:first_mask] = 0
+                first_mask = 0
+            for p in np.flatnonzero(bits):
+                yield byte * 8 + int(p)
+            byte += chunk.size
+
+    def _nth_one_pos(self, i: int) -> int:
+        """Bit position of the (i+1)-th set high bit (0-indexed rank i)."""
+        self._ensure_ptrs()
+        block = i >> self.log_quantum
+        if block:
+            start = int(self._ptr1[block - 1]) + 1
+            remaining = i - (block << self.log_quantum)
+        else:
+            start, remaining = 0, i
+        for pos in self._scan_bits(start):
+            if remaining == 0:
+                return pos
+            remaining -= 1
+        raise IndexError(i)
+
+    def select(self, i: int) -> int:
+        """Value at index i (reference enumerator ``move(i)``)."""
+        if not 0 <= i < self.n:
+            raise IndexError(i)
+        hp = self._nth_one_pos(i) - i
+        return (hp << self.l) | self._low_at(i)
+
+    def _nth_zero_pos(self, k: int) -> int | None:
+        """Bit position of the k-th zero (1-indexed); None if the high
+        stream holds fewer than k zeros (=> no value has high part >= k)."""
+        self._ensure_ptrs()
+        block = (k - 1) >> self.log_quantum
+        if block > self._ptr0.size:   # fewer than k zeros in the stream
+            return None
+        if block:
+            pos = int(self._ptr0[block - 1]) + 1
+            remaining = k - (block << self.log_quantum)
+        else:
+            pos, remaining = 0, k
+        nbits = self._high.size * 8
+        while pos < nbits:
+            chunk_bits = np.unpackbits(self._high[pos >> 3:(pos >> 3) + 64],
+                                       bitorder="little")
+            off = pos & 7
+            zeros = np.flatnonzero(chunk_bits[off:] == 0)
+            if zeros.size >= remaining:
+                return (pos >> 3) * 8 + off + int(zeros[remaining - 1])
+            remaining -= zeros.size
+            pos = ((pos >> 3) + 64) * 8
+        return None
+
+    def next_geq(self, x: int) -> tuple[int, int | None]:
+        """First (index, value) with value >= x; (n, None) past the end.
+
+        Reference semantics: compact_elias_fano.hpp enumerator
+        ``next_geq`` — jump via the zero-pointers to the high bucket of x,
+        then walk set bits until the full value clears x."""
+        if self.n == 0 or x > self.universe:
+            return self.n, None
+        if x <= 0:
+            return 0, self.select(0)
+        hb = x >> self.l
+        if hb == 0:
+            i, scan_from = 0, 0
+        else:
+            p0 = self._nth_zero_pos(hb)
+            if p0 is None:
+                return self.n, None
+            i, scan_from = p0 - hb + 1, p0 + 1
+        if i >= self.n:
+            return self.n, None
+        for pos in self._scan_bits(scan_from):
+            val = ((pos - i) << self.l) | self._low_at(i)
+            if val >= x:
+                return i, val
+            i += 1
+            if i >= self.n:
+                break
+        return self.n, None
+
+
+def ef_intersect(bufs: list[bytes]) -> np.ndarray:
+    """Leapfrog intersection of EF-encoded monotone lists without decoding
+    any of them (the skip-based conjunctive walk the reference's
+    and_query runs over its enumerators): advance the lagging cursor with
+    ``next_geq(candidate)`` until all lists agree."""
+    readers = [EliasFanoReader(b) for b in bufs]
+    if not readers or any(r.n == 0 for r in readers):
+        return np.zeros(0, dtype=np.uint64)
+    out = []
+    candidate = readers[0].select(0)
+    while True:
+        agreed = True
+        for r in readers:
+            _, val = r.next_geq(candidate)
+            if val is None:
+                return np.asarray(out, dtype=np.uint64)
+            if val != candidate:
+                candidate, agreed = val, False
+                break
+        if agreed:
+            out.append(candidate)
+            candidate += 1
 
 
 def ef_decode(buf: bytes) -> tuple[np.ndarray, int]:

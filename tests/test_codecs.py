@@ -357,3 +357,93 @@ def test_batch_block_encoders_byte_identical():
         parts2 = [bp_encode(gaps_all[s:e]) for s, e in zip(starts, ends)]
         assert stream2 == b"".join(parts2)
         assert list(lens2) == [len(p) for p in parts2]
+
+
+# ------------------------------------------------- EF skip pointers
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=300),
+       st.sampled_from([2, 4, 8]))
+@settings(max_examples=40, deadline=None)
+def test_ef_skips_decode_compatible(values, log_quantum):
+    """The skip trailer is invisible to ef_decode (ref compact EF layout:
+    pointers live beside the bit streams, not inside them)."""
+    from pisa_spark.operators.codecs import EliasFanoReader
+
+    arr = np.sort(np.array(values, dtype=np.uint64))
+    plain = ef_encode(arr, int(arr[-1]))
+    skipped = ef_encode(arr, int(arr[-1]), skips=True, log_quantum=log_quantum)
+    assert skipped[: len(plain)] == plain  # trailer appended, stream unchanged
+    out, universe = ef_decode(skipped)
+    assert (out == arr).all() and universe == int(arr[-1])
+
+
+@given(st.lists(st.integers(0, 2**30), min_size=1, max_size=300),
+       st.booleans(), st.sampled_from([2, 4, 8]))
+@settings(max_examples=40, deadline=None)
+def test_ef_reader_select(values, skips, log_quantum):
+    from pisa_spark.operators.codecs import EliasFanoReader
+
+    arr = np.sort(np.array(values, dtype=np.uint64))
+    buf = ef_encode(arr, int(arr[-1]), skips=skips, log_quantum=log_quantum)
+    r = EliasFanoReader(buf)
+    assert len(r) == arr.size
+    for i in [0, arr.size // 2, arr.size - 1]:
+        assert r.select(i) == int(arr[i])
+    rng = np.random.default_rng(7)
+    for i in rng.integers(0, arr.size, size=min(20, arr.size)):
+        assert r.select(int(i)) == int(arr[i])
+
+
+@given(st.lists(st.integers(0, 2**30), min_size=1, max_size=300),
+       st.booleans(), st.sampled_from([2, 4, 8]))
+@settings(max_examples=40, deadline=None)
+def test_ef_reader_next_geq(values, skips, log_quantum):
+    """next_geq == first decoded value >= x (searchsorted oracle), for
+    probes on, between, below and beyond the stored values."""
+    from pisa_spark.operators.codecs import EliasFanoReader
+
+    arr = np.sort(np.array(values, dtype=np.uint64))
+    u = int(arr[-1])
+    buf = ef_encode(arr, u, skips=skips, log_quantum=log_quantum)
+    r = EliasFanoReader(buf)
+    rng = np.random.default_rng(11)
+    probes = set(int(x) for x in arr[rng.integers(0, arr.size, size=10)])
+    probes |= {0, u, u + 1, max(0, u - 1)}
+    probes |= set(int(x) for x in rng.integers(0, u + 2, size=10))
+    for x in probes:
+        i = int(np.searchsorted(arr, x, side="left"))
+        if i == arr.size or x > u:
+            assert r.next_geq(x) == (arr.size, None)
+        else:
+            got_i, got_v = r.next_geq(x)
+            # duplicates: any index holding the same value is correct
+            assert got_v == int(arr[got_i]) and got_v == int(arr[i])
+            assert got_v >= x and (got_i == 0 or int(arr[got_i - 1]) < x
+                                   or int(arr[got_i - 1]) == got_v)
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_ef_intersect_leapfrog(data):
+    """Skip-based conjunctive walk == set intersection of the decoded
+    lists (ref and_query over EF enumerators)."""
+    from pisa_spark.operators.codecs import ef_intersect
+
+    k = data.draw(st.integers(2, 4))
+    base = data.draw(st.lists(st.integers(0, 5000), min_size=1, max_size=200,
+                              unique=True))
+    lists = []
+    for _ in range(k):
+        extra = data.draw(st.lists(st.integers(0, 5000), min_size=1,
+                                   max_size=200, unique=True))
+        keep = data.draw(st.lists(st.booleans(), min_size=len(base),
+                                  max_size=len(base)))
+        vals = sorted(set([b for b, kp in zip(base, keep) if kp] + extra))
+        lists.append(np.array(vals, dtype=np.uint64))
+    bufs = [ef_encode(a, int(a[-1]), skips=True, log_quantum=4)
+            for a in lists]
+    expect = lists[0]
+    for a in lists[1:]:
+        expect = np.intersect1d(expect, a)
+    got = ef_intersect(bufs)
+    assert (got == expect).all()
