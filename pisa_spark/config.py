@@ -20,6 +20,12 @@ class IndexConfig:
     lowercase: bool = True
     stopwords: frozenset[str] = field(default_factory=frozenset)
     stemmer: str | None = None  # None | "porter2" | "krovetz"
+    # Extra KStem headwords unioned with the embedded base lexicon
+    # (functions/kstem.py): a loaded dictionary file or a corpus-derived
+    # set from kstem_lexicon_from_index(). Part of the analyzer chain, so
+    # it round-trips through the manifest with the rest of the config —
+    # cap corpus-derived sets (max_terms) to keep the manifest bounded.
+    kstem_lexicon: frozenset[str] | None = None
 
     # --- scoring (reference scorer.hpp:14-22 defaults)
     scorer: str = "bm25"
@@ -104,6 +110,8 @@ class IndexConfig:
 
         d = asdict(self)
         d["stopwords"] = sorted(d["stopwords"])
+        if d.get("kstem_lexicon") is not None:
+            d["kstem_lexicon"] = sorted(d["kstem_lexicon"])
         return d
 
     @classmethod
@@ -114,6 +122,8 @@ class IndexConfig:
         d = {k: v for k, v in d.items() if k in known}
         if "stopwords" in d:
             d["stopwords"] = frozenset(d["stopwords"])
+        if d.get("kstem_lexicon") is not None:
+            d["kstem_lexicon"] = frozenset(d["kstem_lexicon"])
         return cls(**d)
 
 

@@ -8,15 +8,30 @@ suffixes (plural -s/-es/-ies, past -ed, aspect -ing) are removed, with a
 dictionary probe deciding each spelling repair (e-restoration,
 consonant undoubling, y-restoration).
 
-This module implements that algorithm's full decision structure.  The
-one thing it cannot ship is the KStem headword list itself (a data file,
-not in this container — declared in SURVEY §2.2): callers who have one
-pass it as ``lexicon=``; without it the dictionary probes fall back to
-deterministic orthographic heuristics (Porter-style CVC short-syllable
-test for e-restoration, undouble-except-ll/ss/zz) plus a small embedded
-exception table for the irregulars those heuristics get wrong.  The
-rules, probe order and early-exit behavior match the published
-algorithm; only the lexicon breadth differs, and it is pluggable.
+This module implements that algorithm's full decision structure, backed
+by three lexicon layers (KStem's own data file is not redistributable in
+this container — declared in SURVEY §2.2 — so the layers substitute for
+it and stay pluggable):
+
+1. ``BASE_LEXICON`` — an embedded curated set of common English
+   headwords covering the probe-sensitive shapes (silent-e verbs, nouns
+   whose -es plural strips to an e-form, undoubling candidates), always
+   consulted unless ``use_base=False``.
+2. ``lexicon=`` — any caller-supplied headword set (e.g. a real KStem
+   dictionary file, or :func:`corpus_lexicon` output) is unioned in;
+   entries win over every heuristic, exactly where KStem probes its
+   dictionary.
+3. Deterministic orthographic fallbacks for words neither layer knows
+   (Porter-style CVC short-syllable test for e-restoration,
+   undouble-except-ll/ss/zz) plus the embedded irregulars table.
+
+At corpus scale the dictionary is DERIVED FROM THE COLLECTION:
+:func:`corpus_lexicon` treats the corpus vocabulary minus its derivable
+inflections as the headword set (a surface form whose stem candidates
+also occur standing alone is an inflection, everything else is a
+headword), and :func:`kstem_lexicon_from_index` materializes that from a
+built index's lexicon in one df-ordered scan.  The rules, probe order
+and early-exit behavior match the published algorithm.
 """
 
 from __future__ import annotations
@@ -98,6 +113,130 @@ _E_RESTORE = frozenset((
 ))
 
 
+# Embedded headword base: common English words at the probe-sensitive
+# shapes. Only UNINFLECTED forms may appear here (an inflected entry
+# would short-circuit stem() and return itself). Grouped by the probe
+# each group serves.
+BASE_LEXICON = frozenset((
+    # silent-e verbs: decide e-restoration for -ed/-ing and -es strips
+    "ache", "achieve", "acquire", "admire", "advise", "agree", "allocate",
+    "announce", "approve", "argue", "arrange", "arrive", "assemble",
+    "assume", "assure", "balance", "bake", "base", "bathe", "battle",
+    "behave", "believe", "blame", "bounce", "brake", "breathe", "bundle",
+    "calculate", "capture", "care", "carve", "cause", "cease", "celebrate",
+    "change", "charge", "chase", "choose", "circle", "cite", "close",
+    "combine", "come", "communicate", "compare", "compete", "compile",
+    "complete", "complicate", "comprise", "concentrate", "configure",
+    "confuse", "continue", "contribute", "create", "cycle", "dance",
+    "date", "debate", "decide", "declare", "decline", "decorate",
+    "decrease", "dedicate", "define", "delegate", "delete", "demonstrate",
+    "derive", "describe", "deserve", "devote", "dine", "disable",
+    "distribute", "divide", "dominate", "donate", "double", "drive",
+    "duplicate", "educate", "eliminate", "emerge", "enable", "encourage",
+    "engage", "ensure", "erase", "escape", "estimate", "evaluate",
+    "examine", "exchange", "excite", "exclude", "excuse", "exercise",
+    "expire", "explore", "expose", "face", "fade", "feature", "figure",
+    "file", "finance", "fine", "force", "frame", "freeze", "gaze",
+    "generate", "give", "glance", "grade", "guide", "handle", "hate",
+    "have", "hide", "hire", "hope", "hype", "ignite", "ignore",
+    "illustrate", "imagine", "improve", "include", "increase", "indicate",
+    "influence", "initiate", "inquire", "inspire", "insure", "integrate",
+    "introduce", "invade", "invite", "involve", "isolate", "issue",
+    "iterate", "judge", "lease", "leave", "like", "line", "live",
+    "locate", "love", "make", "manage", "measure", "merge", "move",
+    "name", "navigate", "negotiate", "note", "notice", "observe",
+    "operate", "oppose", "organize", "owe", "pause", "persuade", "phrase",
+    "picture", "place", "please", "populate", "pose", "praise", "prepare",
+    "preserve", "pressure", "presume", "price", "produce", "promise",
+    "promote", "pronounce", "propose", "prove", "provide", "purchase",
+    "pursue", "puzzle", "quote", "raise", "rate", "receive", "recite",
+    "recognize", "recycle", "reduce", "reference", "refuse", "regulate",
+    "relate", "release", "relocate", "remove", "replace", "replicate",
+    "require", "resemble", "reserve", "resolve", "retire", "reverse",
+    "ride", "rotate", "rule", "sample", "save", "schedule", "score",
+    "secure", "seize", "sense", "separate", "serve", "settle", "shape",
+    "share", "simulate", "size", "slide", "smile", "smoke", "solve",
+    "source", "spare", "square", "stare", "state", "store", "structure",
+    "style", "surprise", "tackle", "take", "tape", "taste", "template",
+    "tie", "time", "title", "trace", "trade", "translate", "trouble",
+    "type", "unite", "update", "upgrade", "use", "validate", "value",
+    "vote", "wake", "waste", "wave", "welcome", "wire", "wrestle",
+    "write",
+    # e-final nouns: keep "houses" -> "house"-style -es strips honest
+    "base", "bike", "bone", "bottle", "bridge", "bubble", "cable", "cake",
+    "candle", "case", "cave", "code", "college", "course", "craze",
+    "crane", "cube", "culture", "curve", "database", "degree", "device",
+    "disease", "distance", "dome", "dose", "edge", "employee", "engine",
+    "episode", "estate", "example", "experience", "eye", "fate", "fire",
+    "flame", "fortune", "gate", "game", "gene", "globe", "grape",
+    "grove", "hole", "home", "horse", "house", "image", "instance",
+    "interface", "knife", "lake", "language", "lane", "license", "life",
+    "machine", "maze", "message", "mile", "mine", "minute", "mistake",
+    "mode", "module", "mouse", "movie", "muscle", "node", "noise", "nose",
+    "nurse", "office", "outcome", "package", "page", "palace", "particle",
+    "phase", "phone", "phrase", "pile", "pipe", "plane", "plate",
+    "praise", "principle", "prince", "prize", "probe", "purpose", "purse",
+    "race", "range", "recipe", "response", "rose", "route", "sauce",
+    "scale", "scene", "science", "sentence", "service",
+    "shade", "shore", "side", "site", "slope", "space", "sphere", "stage",
+    "stake", "stone", "stove", "suite", "surface", "table", "theme",
+    "tide", "tile", "tone", "tribe", "tube", "vehicle", "village", "vine",
+    "voice", "wage", "wine", "zone",
+    # undoubling candidates: "planned" -> "plan" but "dropped" vs "dross"
+    "admit", "bat", "beg", "begin", "chat", "chip", "clip", "commit",
+    "control", "cut", "dig", "drag", "drop", "drum", "equip", "fit",
+    "flag", "flip", "forget", "grab", "grin", "grip", "hit", "hop", "hug",
+    "jog", "knit", "map", "nod", "occur", "omit", "pat", "permit", "pin",
+    "plan", "plug", "pop", "prefer", "put", "quit", "refer", "regret",
+    "rip", "rob", "rub", "run", "scan", "set", "ship", "shop", "shrug",
+    "sit", "skip", "slam", "slip", "snap", "spin", "spot", "star", "stem",
+    "step", "stir", "stop", "strip", "submit", "swim", "tag", "tap",
+    "top", "transmit", "trap", "travel", "trim", "trip", "tug", "wrap",
+    "zip",
+    # consonant-final verbs/nouns the plain strips should NOT e-restore
+    "act", "add", "answer", "appear", "ask", "attack", "attend", "avoid",
+    "await", "award", "bend", "boost", "borrow", "breach", "breakfast",
+    "broadcast", "build", "burn", "buy", "call", "catch", "check",
+    "claim", "clean", "clear", "click", "climb", "coat", "collect",
+    "comment", "connect", "consist", "contain", "cook", "count", "cover",
+    "crash", "credit", "cross", "deal", "deliver", "demand", "depend",
+    "design", "destroy", "detect", "develop", "differ", "direct",
+    "discuss", "display", "download", "draw", "dream", "dress", "drink",
+    "earn", "eat", "edit", "employ", "end", "enjoy", "enter", "exist",
+    "exit", "expand", "expect", "explain", "export", "express", "extend",
+    "fail", "fall", "fear", "feed", "feel", "fill", "filter", "find",
+    "finish", "fix", "float", "flood", "flow", "fold", "follow", "form",
+    "gain", "gather", "glow", "grant", "group", "grow", "happen",
+    "harvest", "head", "hear", "heat", "help", "hold", "host", "hunt",
+    "import", "inform", "insist", "install", "instruct", "interact",
+    "invent", "invest", "join", "jump", "keep", "kick", "kill", "know",
+    "land", "last", "laugh", "launch", "lead", "lean", "learn", "lend",
+    "level", "lift", "light", "limit", "link", "list", "listen", "load",
+    "lock", "look", "mail", "maintain", "march", "mark", "market",
+    "match", "matter", "mean", "meet", "mention", "mix", "model",
+    "monitor", "mount", "need", "number", "obtain", "offer", "open",
+    "order", "own", "pack", "paint", "park", "pass", "pay", "perform",
+    "pick", "plant", "play", "point", "poll", "post", "pour", "power",
+    "predict", "present", "press", "prevent", "print", "process",
+    "profit", "project", "protect", "protest", "pull", "push", "reach",
+    "record", "reflect", "reform", "remain", "remember", "remind",
+    "render", "rent", "repair", "repeat", "report", "represent",
+    "request", "respond", "rest", "result", "return", "reveal", "review",
+    "reward", "risk", "roll", "sail", "search", "season", "seek", "seem",
+    "select", "sell", "send", "shift", "shout", "show", "sign", "signal",
+    "sleep", "sort", "sound", "speak", "spell", "spend", "split",
+    "sprint", "stand", "start", "stay", "stream", "stretch", "submit",
+    "succeed", "suffer", "suggest", "support", "surround", "sustain",
+    "switch", "talk", "teach", "tell", "tend", "test", "thank", "think",
+    "touch", "track", "train", "transform", "treat", "trend", "trust",
+    "turn", "visit", "wait", "walk", "want", "warn", "wash", "watch",
+    "wear", "weigh", "win", "wish", "wonder", "work", "yield",
+    # -ing headwords KStem's dictionary keeps whole
+    "building", "feeling", "meaning", "meeting", "painting", "warning",
+    "wedding",
+))
+
+
 def _has_vowel(word: str) -> bool:
     return any(c in _VOWELS for c in word)
 
@@ -127,10 +266,16 @@ def _cvc_short(word: str) -> bool:
 class KrovetzStemmer:
     """kstem_stemmer() equivalent. ``lexicon`` is an optional headword
     set consulted before and during suffix removal, exactly where KStem
-    probes its dictionary; entries win over every heuristic."""
+    probes its dictionary; entries win over every heuristic. The embedded
+    :data:`BASE_LEXICON` is unioned in unless ``use_base=False`` (bare
+    rule machinery, for tests and heuristic-fallback comparison)."""
 
-    def __init__(self, lexicon: set[str] | None = None):
-        self.lexicon = lexicon or set()
+    def __init__(self, lexicon: set[str] | frozenset[str] | None = None,
+                 use_base: bool = True):
+        if use_base:
+            self.lexicon = BASE_LEXICON | lexicon if lexicon else BASE_LEXICON
+        else:
+            self.lexicon = lexicon or set()
 
     def _in_dict(self, word: str) -> bool:
         return word in self.lexicon
@@ -142,8 +287,15 @@ class KrovetzStemmer:
             return _DIRECT[word]
         if word in _INVARIANT or self._in_dict(word):
             return word
+        # KStem re-probes the dictionary after each removal step and
+        # stops at the first recognized form ("buildings" -> "building"
+        # ends at the -s step because "building" is a headword).
         word = self._plural(word)
+        if word in _INVARIANT or self._in_dict(word):
+            return word
         word = self._past(word)
+        if word in _INVARIANT or self._in_dict(word):
+            return word
         word = self._aspect(word)
         return word
 
@@ -220,3 +372,70 @@ class KrovetzStemmer:
 def kstem_words(words: list[str], lexicon: set[str] | None = None) -> list[str]:
     st = KrovetzStemmer(lexicon)
     return [st.stem(w) for w in words]
+
+
+# ------------------------------------------------ corpus-derived lexicon
+
+def _derivable(t: str, vocab: set[str]) -> bool:
+    """True if t looks like an inflection of another vocabulary word:
+    some candidate the rule machinery would strip it to also occurs in
+    the corpus standing alone."""
+    if t.endswith("s") and not t.endswith(("ss", "us")) and len(t) > 3:
+        cands = [t[:-1]]
+        if t.endswith("es"):
+            cands.append(t[:-2])
+        if t.endswith("ies"):
+            cands.append(t[:-3] + "y")
+        if any(len(c) > 1 and c in vocab for c in cands):
+            return True
+    if t.endswith("ed") and len(t) > 4:
+        s = t[:-2]
+        cands = [s, s + "e"]
+        if len(s) > 1 and s[-1] == s[-2]:
+            cands.append(s[:-1])
+        if t.endswith("ied"):
+            cands += [t[:-1], t[:-3] + "y"]
+        if _has_vowel(s) and any(c in vocab for c in cands):
+            return True
+    if t.endswith("ing") and len(t) > 5:
+        s = t[:-3]
+        cands = [s, s + "e"]
+        if len(s) > 1 and s[-1] == s[-2]:
+            cands.append(s[:-1])
+        if _has_vowel(s) and any(c in vocab for c in cands):
+            return True
+    return False
+
+
+def corpus_lexicon(terms, min_len: int = 2) -> frozenset[str]:
+    """Derive a KStem headword set from a corpus vocabulary.
+
+    KStem's dictionary file is a list of English headwords; at web scale
+    the collection itself is the best available stand-in — a surface form
+    is treated as a headword unless it is DERIVABLE: it carries an
+    inflectional suffix and one of its rule-machinery stem candidates
+    also occurs in the vocabulary ("running" is an inflection because
+    "run" occurs; "ring"/"string" are headwords because "r"/"str" do
+    not). Approximation vs the real dictionary: corpus-frequent -ing
+    nominals whose verb also occurs ("building"/"build") classify as
+    inflections — the embedded BASE_LEXICON carries the common ones.
+    """
+    vocab = {t for t in terms
+             if len(t) >= min_len and t.isalpha() and t.islower()}
+    return frozenset(t for t in vocab if not _derivable(t, vocab))
+
+
+def kstem_lexicon_from_index(index, max_terms: int = 1 << 21) -> frozenset[str]:
+    """Materialize :func:`corpus_lexicon` from a built index's lexicon:
+    one column-pruned scan, df-descending so a ``max_terms`` cap keeps
+    the dictionary-grade (frequent) vocabulary and drops the tail noise.
+    Driver memory is bounded by ``max_terms`` strings."""
+    from pyspark.sql import functions as F
+
+    rows = (index.lexicon
+            .select("term", "df")
+            .where(F.col("term").rlike("^[a-z]+$"))
+            .orderBy(F.col("df").desc(), "term")
+            .limit(max_terms)
+            .collect())
+    return corpus_lexicon(r["term"] for r in rows)

@@ -89,9 +89,10 @@ def make_analyzer(cfg: IndexConfig):
     if cfg.stemmer == "porter2":
         stem = _porter2()
     elif cfg.stemmer == "krovetz":
-        from pisa_spark.functions.kstem import kstem_words
+        from pisa_spark.functions.kstem import KrovetzStemmer
 
-        stem = kstem_words
+        _kstem = KrovetzStemmer(cfg.kstem_lexicon).stem
+        stem = lambda toks: [_kstem(t) for t in toks]  # noqa: E731
     elif cfg.stemmer is None:
         stem = None
     else:

@@ -307,3 +307,74 @@ def test_profile_queries_counters(index, queries):
     assert (prof_bmw.ranges >= prof_bmw.ranges_skipped).all()
     assert (prof_bmw.postings_decoded >= 0).all()
     assert (prof_bmw.blocks_decoded >= 0).all()
+
+
+def test_kstem_base_lexicon_probes():
+    """The embedded headword base resolves the dictionary-dependent
+    repairs the bare heuristics cannot (KStem's layer-1 behavior)."""
+    from pisa_spark.functions.kstem import BASE_LEXICON, KrovetzStemmer, kstem_words
+
+    # inflected forms must never appear as headwords
+    from pisa_spark.functions.kstem import _DIRECT
+    assert not (BASE_LEXICON & set(_DIRECT))
+    cases = {
+        "staring": "stare", "starred": "star",     # dict settles star/stare
+        "houses": "house", "sciences": "science",  # -es strip to e-form
+        "buildings": "building",                   # -ing nominal headword
+        "building": "building",
+        "managed": "manage", "managing": "manage",
+        "planned": "plan", "planning": "plan",
+        "compared": "compare", "sharing": "share",
+        "scheduled": "schedule", "traveled": "travel",
+    }
+    for w, want in cases.items():
+        assert kstem_words([w])[0] == want, (w, kstem_words([w])[0], want)
+    # bare machinery (use_base=False) keeps the old heuristic behavior
+    bare = KrovetzStemmer(use_base=False)
+    assert bare.stem("building") == "build"
+
+
+def test_kstem_corpus_lexicon():
+    """corpus_lexicon = vocabulary minus derivable inflections."""
+    from pisa_spark.functions.kstem import corpus_lexicon
+
+    vocab = ["run", "running", "runs", "ring", "string", "city", "cities",
+             "hope", "hoping", "hoped", "glass", "glasses", "morning",
+             "data", "x", "Token", "abc123"]
+    lex = corpus_lexicon(vocab)
+    assert {"run", "ring", "string", "city", "hope", "glass",
+            "morning", "data"} <= lex
+    # inflections whose stems stand alone are excluded; non-alpha /
+    # cased / short forms never enter
+    assert not lex & {"running", "runs", "cities", "hoping", "hoped",
+                      "glasses", "x", "Token", "abc123"}
+    # lexicon-aware stemming then resolves against the corpus dictionary
+    from pisa_spark.functions.kstem import KrovetzStemmer
+    st = KrovetzStemmer(lex, use_base=False)
+    assert st.stem("hoping") == "hope" and st.stem("glasses") == "glass"
+
+
+def test_kstem_lexicon_config_roundtrip():
+    from pisa_spark.config import IndexConfig
+
+    cfg = IndexConfig(stemmer="krovetz",
+                      kstem_lexicon=frozenset({"zyzzyva", "qwerty"}))
+    back = IndexConfig.from_json_dict(cfg.to_json_dict())
+    assert back == cfg and isinstance(back.kstem_lexicon, frozenset)
+    assert IndexConfig.from_json_dict(IndexConfig().to_json_dict()).kstem_lexicon is None
+
+
+def test_kstem_lexicon_from_index(spark, tmp_path):
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.functions.kstem import kstem_lexicon_from_index
+    from pisa_spark.plans import build as B
+
+    docs = spark.createDataFrame(
+        [("u%d" % i, "the cat cats running run jumped jump table tables")
+         for i in range(8)], "url string, html string")
+    cfg = IndexConfig(shard_span=64)
+    idx = B.build_index(B.extract_pages(docs, cfg), cfg,
+                        out_dir=str(tmp_path / "kli"), n_buckets=2)
+    lex = kstem_lexicon_from_index(idx)
+    assert {"cat", "run", "jump", "table"} <= lex
+    assert not lex & {"cats", "tables", "running", "jumped"}
