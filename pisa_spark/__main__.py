@@ -43,6 +43,8 @@ def _cfg(args):
     kw = {}
     if getattr(args, "stemmer", None):
         kw["stemmer"] = None if args.stemmer == "none" else args.stemmer
+    if getattr(args, "kstem_lexicon", None):
+        kw["kstem_lexicon"] = _read_kstem_lexicon(args.kstem_lexicon)
     if getattr(args, "tokenizer", None):
         kw["tokenizer"] = args.tokenizer
     if getattr(args, "encoding", None):
@@ -56,6 +58,14 @@ def _cfg(args):
     if getattr(args, "variable_block", False):
         kw["block_partition"] = "variable"
     return IndexConfig(**kw)
+
+
+def _read_kstem_lexicon(path: str) -> frozenset[str]:
+    """Load a KStem headword file (the reference library's dictionary
+    format: one lowercase word per line; blank lines and # comments ok)."""
+    with open(path) as fh:
+        return frozenset(w for w in (line.strip().lower() for line in fh)
+                         if w and w.isalpha())
 
 
 def _read_corpus(spark, args):
@@ -101,6 +111,8 @@ def _load_index(spark, args):
     over = {}
     if getattr(args, "stemmer", None):
         over["stemmer"] = None if args.stemmer == "none" else args.stemmer
+    if getattr(args, "kstem_lexicon", None):
+        over["kstem_lexicon"] = _read_kstem_lexicon(args.kstem_lexicon)
     if getattr(args, "tokenizer", None):
         over["tokenizer"] = args.tokenizer
     if getattr(args, "encoding", None):
@@ -434,6 +446,9 @@ def _add_index_flags(p, queries: bool = True):
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--stemmer", default=None,
                    choices=["none", "porter2", "krovetz"])
+    p.add_argument("--kstem-lexicon", default=None, metavar="FILE",
+                   help="KStem headword file (one word per line), unioned "
+                        "with the embedded base lexicon")
     p.add_argument("--tokenizer", default=None,
                    choices=["english", "whitespace"])
     p.add_argument("--encoding", default=None)
@@ -450,6 +465,9 @@ def _add_build_flags(p):
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--stemmer", default=None,
                    choices=["none", "porter2", "krovetz"])
+    p.add_argument("--kstem-lexicon", default=None, metavar="FILE",
+                   help="KStem headword file (one word per line), unioned "
+                        "with the embedded base lexicon")
     p.add_argument("--tokenizer", default=None,
                    choices=["english", "whitespace"])
     p.add_argument("-e", "--encoding", default=None,

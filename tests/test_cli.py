@@ -93,3 +93,20 @@ def test_count_postings_and_stem_queries(capsys, index_dir, queries_file):
 def test_lookup_table_scoped_out():
     with pytest.raises(SystemExit):
         main(["lookup_table"])
+
+
+def test_kstem_lexicon_flag(capsys, corpus_jsonl, tmp_path):
+    """--kstem-lexicon FILE loads a headword file into the analyzer chain
+    and persists it with the built config (manifest round-trip)."""
+    lexfile = tmp_path / "headwords.txt"
+    lexfile.write_text("sparking\n# comment line\n\nIndexing\n")
+    out = str(tmp_path / "idx")
+    main(["parse_collection", "-i", corpus_jsonl, "-f", "jsonl", "-o", out,
+          "--stemmer", "krovetz", "--kstem-lexicon", str(lexfile)])
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.plans.build import BuildManifest
+
+    saved = BuildManifest(out).state["metrics"]["index_config"]
+    cfg = IndexConfig.from_json_dict(saved)
+    assert cfg.stemmer == "krovetz"
+    assert cfg.kstem_lexicon == frozenset({"sparking", "indexing"})
