@@ -21,10 +21,10 @@ Cross-engine determinism rules used throughout:
 The float32 reference-faithful scoring path (index + pruned executors) is
 oracle-checked on its RANK surface (the pruned executors share the
 exhaustive BM25 SQL projected to (qid, doc_id, rank)) and further pinned by
-the pytest rank-identity suite (tests/test_topk.py). The six remaining
+the pytest rank-identity suite (tests/test_topk.py). The five remaining
 rows-only entries (lsh_ann_topk, ivf_ann_topk, stemmed_token_stats,
-taily_stats, profile_queries, taily_thresholds) have no faithful SQL
-twin — each one's docstring says why.
+profile_queries, taily_thresholds) have no faithful SQL twin — each
+one's docstring says why.
 """
 
 from __future__ import annotations
@@ -643,17 +643,26 @@ def _q_profile_queries(spark, sf_dir):
 
 
 def _q_taily_stats(spark, sf_dir):
-    """Per-term Taily gamma-model moments over the f32 index (rows-only:
-    the moments are float32 aggregates of index-internal score parts with
-    no SQL twin; estimator quality pinned by tests/test_sharding_readers)."""
+    """Per-term Taily gamma-model moments over the f32 index
+    (taily_stats.hpp feature set: any = df, E[score], Var[score]).
+
+    Oracle-checked (r5): the per-posting f32 scores are the proven
+    bit-exact contrib twin (_bm25_f32_rank_sql); the moments are f64
+    aggregates of those identical f32 inputs, where only summation ORDER
+    differs between engines (reassociation slack ~1e-10 relative), so
+    both sides round to 2 decimals — far above the slack, far below the
+    score scale. Keyed by term (string) so no id-assignment twin is
+    needed."""
     from pyspark.sql import functions as F
 
     from pisa_spark import tools
 
     idx = _get_index(spark, sf_dir)
-    return tools.taily_stats(idx).select(
-        "term_id", "any", F.round("expected_value", 4).alias("ev"),
-        F.round("variance", 4).alias("var"))
+    return (tools.taily_stats(idx)
+            .join(idx.lexicon.select("term_id", "term"), "term_id")
+            .select("term", "any",
+                    F.round("expected_value", 2).alias("ev"),
+                    F.round("variance", 2).alias("var")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -840,6 +849,38 @@ from (
                  else e0 end as ec
   from (select *, cast(floor(log2(score::double)) as int) as e0
         from ranked where rank <= 10))
+"""
+
+
+def _taily_stats_sql() -> str:
+    """DuckDB twin of taily_stats: per-term count/mean/variance over the
+    SAME per-posting float32 BM25 scores as the engine index (the contrib
+    CTE is _bm25_f32_rank_sql's, proven bit-exact against the kernels).
+    avg/var_pop aggregate those identical f32 inputs in f64; both engines
+    round to 2 decimals (see _q_taily_stats for the slack argument)."""
+    r = "cast({} as real)".format
+    half, one, k1, b, eps = (r("0.5"), r("1"), r("0.9"), r("0.4"), r("1e-6"))
+    idf = (f"cast(greatest({eps}, cast(ln(cast("
+           f"((cast(stats.n as real) - cast(dft.df as real)) + {half}) / "
+           f"(cast(dft.df as real) + {half}) as real)) as real)) as real) "
+           f"* ({one} + {k1})")
+    part = (f"cast(tf.tf as real) / (cast(tf.tf as real) + {k1} * "
+            f"(({one} - {b}) + {b} * (cast(dl.dl as real) / stats.avgr)))")
+    return f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+dft as (select term, count(distinct doc_id) as df from tf group by term),
+stats as (select (select count(*) from documents) as n,
+                 cast((select sum(dl) from dl)::double
+                      / (select count(*) from documents) as real) as avgr),
+contrib as (
+  select tf.doc_id, tf.term, ({idf}) * ({part}) as c
+  from tf join dl on tf.doc_id = dl.doc_id
+       join dft on tf.term = dft.term cross join stats)
+select term, count(*)::bigint as "any",
+       round(avg(c), 2) as ev, round(var_pop(c), 2) as "var"
+from contrib group by term
 """
 
 
@@ -1115,6 +1156,7 @@ from orc cross join nd where n_docs / nd.n < 2.0
         "bm25_topk_maxscore": _bm25_f32_rank_sql(qv),
         "bm25_topk_batch": _bm25_f32_rank_sql(qv),
         "bm25_topk_quantized": _bm25_quantized_rank_sql(qv),
+        "taily_stats": _taily_stats_sql(),
         "image_decode_stats": _image_stats_sql(),
         "boolean_and_count": boolean_common + """
 , cand as (select qv.qid, dt.doc_id, count(*) as c
