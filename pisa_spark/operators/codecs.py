@@ -1222,8 +1222,122 @@ def s16_decode(buf: bytes) -> np.ndarray:
     return out[:n]
 
 
+# QMX — Quantities, Multipliers and eXtractor (Trotman, ADCS 2014; the
+# reference's codec/qmx.hpp role). The defining layout properties, kept:
+# the payload is a pure run of 16-byte (128-bit) words each packed at ONE
+# bit width, and the selector stream is pulled OUT OF BAND — one byte per
+# run (width nibble | run-length-1 nibble), stored at the tail of the
+# stream and read backwards — so the extractor streams aligned
+# quantity-words with no selector branches inside the data. The
+# reference's in-register lane interleave is a pure bit permutation with
+# identical size and identical decoded values; as with bp128 above, this
+# implementation packs LSB-first linear inside each 128-bit word, which
+# is the Arrow/numpy-batch analogue of the SIMD register layout.
+# Width ladder as published: {0,1,2,3,4,5,6,7,8,9,10,12,16,21,32}; a
+# 0-width word encodes a run of 256 zeros with no payload bytes.
+_QMX_MODES = ((256, 0), (128, 1), (64, 2), (42, 3), (32, 4), (25, 5),
+              (21, 6), (18, 7), (16, 8), (14, 9), (12, 10), (10, 12),
+              (8, 16), (6, 21), (4, 32))
+_QMX_COUNTS = np.array([m[0] for m in _QMX_MODES], dtype=np.int64)
+_QMX_WIDTHS = np.array([m[1] for m in _QMX_MODES], dtype=np.int64)
+
+
+def qmx_encode(values: np.ndarray) -> bytes:
+    """QMX encode (<=32-bit values). Greedy densest-fit word choice via
+    the same sparse-table windowed maxima + pointer-doubling walk as
+    s8b_encode; payload packed in one _pack_blocked_bits pass; selector
+    run-length bytes assembled vectorized and stored reversed at the
+    stream tail. Layout: [varint n][varint n_selbytes][16B words...]
+    [selector bytes, tail-reversed]."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return varint_encode(np.array([0, 0], dtype=np.uint64))
+    nbits = _bit_lengths(v)
+    if int(nbits.max()) > 32:
+        raise ValueError("qmx encodes values of <= 32 bits")
+    # densest fitting selector per position (fit is monotone in selector
+    # id: higher id = narrower window + wider width, so overwriting from
+    # sparsest to densest leaves the densest fit — same trick as s8b)
+    pad = np.concatenate([nbits, np.zeros(256, dtype=nbits.dtype)])
+    sparse = [pad]
+    for k in range(8):  # 2^8 = 256 = max mode count
+        step = 1 << k
+        sparse.append(np.maximum(sparse[-1][:-step], sparse[-1][step:]))
+
+    def _wmax(c: int) -> np.ndarray:
+        j = c.bit_length() - 1
+        mj = sparse[j]
+        return np.maximum(mj[:n], mj[c - (1 << j):c - (1 << j) + n])
+
+    best = np.full(n, len(_QMX_MODES) - 1, dtype=np.int64)  # 4x32b always fits
+    for s in range(len(_QMX_MODES) - 2, -1, -1):
+        count, width = _QMX_MODES[s]
+        best[_wmax(count) <= width] = s
+    starts = _word_starts(best, _QMX_COUNTS[best])
+    sel = best[starts]
+    # selector bytes: equal-selector word runs, capped at 16 per byte
+    change = np.flatnonzero(np.diff(sel)) + 1
+    seg_starts = np.concatenate(([0], change))
+    seg_lens = np.diff(np.append(seg_starts, sel.size))
+    nb = (seg_lens + 15) // 16  # selector bytes per segment
+    byte_seg = np.repeat(np.arange(seg_lens.size), nb)
+    idx_in_seg = np.arange(byte_seg.size) - np.repeat(
+        np.concatenate(([0], np.cumsum(nb)[:-1])), nb)
+    run = np.where(idx_in_seg < nb[byte_seg] - 1, 16,
+                   seg_lens[byte_seg] - 16 * (nb[byte_seg] - 1))
+    selb = ((sel[seg_starts[byte_seg]] << 4) | (run - 1)).astype(np.uint8)
+    # payload: one 16-byte word per non-zero-width word, LSB-first linear
+    word_width = _QMX_WIDTHS[sel]
+    has_pay = word_width > 0
+    pay_idx = np.cumsum(has_pay) - 1  # payload word index per word
+    total_pay_bytes = int(has_pay.sum()) * 16
+    per_word_n = np.diff(np.append(starts, n))
+    grp = np.repeat(np.arange(sel.size), per_word_n)
+    pos_in_word = np.arange(n) - starts[grp]
+    wv = word_width[grp]
+    m = wv > 0  # 0-width words carry no bits (their values are all zero)
+    bit_start = pay_idx[grp][m] * 128 + pos_in_word[m] * wv[m]
+    payload = _pack_blocked_bits(bit_start, wv[m], v[m], total_pay_bytes)
+    header = varint_encode(np.array([n, selb.size], dtype=np.uint64))
+    return header + payload.tobytes() + selb[::-1].tobytes()
+
+
+def qmx_decode(buf: bytes) -> np.ndarray:
+    """Vectorized QMX decode: selector bytes read backwards from the
+    stream tail, payload words grouped by width and unpacked one numpy
+    pass per width (unpackbits over whole 128-bit words, exactly the
+    bulk extractor role)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    (n, nsel), pos = _read_varints(b, 0, 2)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    selb = b[b.size - nsel:][::-1]
+    payload = b[pos:b.size - nsel]
+    word_sel = np.repeat((selb >> 4).astype(np.int64),
+                         (selb & 0xF).astype(np.int64) + 1)
+    word_width = _QMX_WIDTHS[word_sel]
+    word_count = _QMX_COUNTS[word_sel]
+    offs = np.concatenate(([0], np.cumsum(word_count)[:-1]))
+    pay_idx = np.cumsum(word_width > 0) - 1
+    out = np.zeros(int(offs[-1]) + int(word_count[-1]), dtype=np.uint64)
+    pw = payload.reshape(-1, 16)
+    for s in np.unique(word_sel):
+        count, width = _QMX_MODES[s]
+        if width == 0:
+            continue  # 256-zero run words: out is already zero
+        idx = np.flatnonzero(word_sel == s)
+        bits = np.unpackbits(pw[pay_idx[idx]], axis=1, bitorder="little")
+        vals = (bits[:, :count * width].reshape(-1, count, width)
+                .astype(np.uint64)
+                << np.arange(width, dtype=np.uint64)).sum(axis=2)
+        dst = offs[idx][:, None] + np.arange(count)
+        out[dst.ravel()] = vals.ravel()
+    return out[:n]
+
+
 CODECS = ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd",
-          "svb", "s8b", "s16")
+          "svb", "s8b", "s16", "qmx")
 
 # per-block optimal dispatch: each block is encoded with whichever base
 # codec is smallest and tagged with one byte — the role the reference
@@ -1266,6 +1380,9 @@ def encode_gap_stream(docs: np.ndarray, base: int, codec: str) -> bytes:
     if codec == "s16":
         gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
         return s16_encode(gaps)
+    if codec == "qmx":
+        gaps = (np.diff(d, prepend=np.int64(base)) - 1).astype(np.uint64)
+        return qmx_encode(gaps)
     if codec == "opt":
         best_i, best = min(
             ((i, encode_gap_stream(d, base, c))
@@ -1309,8 +1426,8 @@ def decode_gap_stream(buf: bytes, base: int, codec: str, count: int | None = Non
         if count is not None and gaps.size != count:
             raise ValueError("svb stream count mismatch")
         return np.cumsum(gaps + 1) + base
-    if codec in ("s8b", "s16"):
-        dec = s8b_decode if codec == "s8b" else s16_decode
+    if codec in ("s8b", "s16", "qmx"):
+        dec = {"s8b": s8b_decode, "s16": s16_decode, "qmx": qmx_decode}[codec]
         gaps = dec(buf).astype(np.int64)
         if count is not None and gaps.size != count:
             raise ValueError(f"{codec} stream count mismatch")

@@ -122,6 +122,7 @@ def main() -> None:
         "svb_fixed": {"codec": "svb"},
         "s8b_fixed": {"codec": "s8b"},
         "s16_fixed": {"codec": "s16"},
+        "qmx_fixed": {"codec": "qmx"},
         "varint_variable": {"block_partition": "variable"},
         "bp128_variable": {"codec": "bp128", "block_partition": "variable"},
     }

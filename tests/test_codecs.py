@@ -36,7 +36,7 @@ def test_ef_roundtrip(values):
 @given(
     st.lists(st.integers(0, 10**7), min_size=1, max_size=400, unique=True),
     st.sampled_from(["varint", "ef", "bp128", "opt", "pef", "pefu", "bic", "optpfd",
-     "svb", "s8b", "s16"]),
+     "svb", "s8b", "s16", "qmx"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_gap_stream_roundtrip(docs, codec):
@@ -50,7 +50,7 @@ def test_gap_stream_roundtrip(docs, codec):
 def test_gap_stream_base_minus_one():
     docs = np.array([0, 1, 5, 100], dtype=np.int64)
     for codec in ("varint", "ef", "bp128", "opt", "pef", "pefu", "bic",
-                  "optpfd", "svb", "s8b", "s16"):
+                  "optpfd", "svb", "s8b", "s16", "qmx"):
         buf = encode_gap_stream(docs, -1, codec)
         assert (decode_gap_stream(buf, -1, codec, 4) == docs).all()
 
@@ -162,6 +162,54 @@ def test_s16_patterns_and_guard():
     assert len(s16_encode(v)) <= 1 + 2 * 4
     with pytest.raises(ValueError):
         s16_encode(np.array([2**28], dtype=np.uint64))
+
+
+@given(st.lists(st.integers(0, 2**32 - 1), min_size=0, max_size=600))
+@settings(max_examples=60, deadline=None)
+def test_qmx_roundtrip(values):
+    from pisa_spark.operators.codecs import qmx_decode, qmx_encode
+
+    arr = np.array(values, dtype=np.uint64)
+    out = qmx_decode(qmx_encode(arr))
+    assert out.size == arr.size and (out == arr).all()
+
+
+def test_qmx_layout_and_guard():
+    """QMX properties from the published scheme (Trotman ADCS'14, ref
+    codec/qmx.hpp): the payload is a pure run of 16-byte words (one width
+    each), selector run-length bytes live OUT OF BAND at the stream tail,
+    a 256-zero run costs one selector byte and NO payload word, equal-
+    width word runs amortize to one selector byte per 16 words, and
+    values above 32 bits are rejected."""
+    from pisa_spark.operators.codecs import qmx_decode, qmx_encode
+
+    # 1024 zeros = 4 zero-run words = 1 selector byte, no payload
+    zeros = np.zeros(1024, dtype=np.uint64)
+    buf = qmx_encode(zeros)
+    assert len(buf) == 3 + 0 + 1  # varint(1024)+varint(1) + selector byte
+    assert (qmx_decode(buf) == zeros).all()
+    # 128 one-bit values = exactly one 16-byte word + 1 selector byte
+    ones = np.ones(128, dtype=np.uint64)
+    buf = qmx_encode(ones)
+    assert len(buf) == 3 + 16 + 1
+    assert (qmx_decode(buf) == ones).all()
+    # 64 * 16 two-bit values: 16 equal-width words -> ONE selector byte,
+    # payload 16-byte aligned
+    v = np.full(64 * 16, 3, dtype=np.uint64)
+    buf = qmx_encode(v)
+    assert len(buf) == 3 + 16 * 16 + 1  # varint(1024)+varint(1), 16 words
+    payload_bytes = len(buf) - 3 - 1
+    assert payload_bytes % 16 == 0
+    with pytest.raises(ValueError):
+        qmx_encode(np.array([2**33], dtype=np.uint64))
+
+
+def test_qmx_denser_than_varint_on_small_gaps():
+    from pisa_spark.operators.codecs import qmx_encode
+
+    rng = np.random.default_rng(11)
+    gaps = rng.integers(0, 8, 1000).astype(np.uint64)  # 3-bit values
+    assert len(qmx_encode(gaps)) < 1000  # varint floors at 1 byte/value
 
 
 def test_s8b_denser_than_varint_on_small_gaps():

@@ -238,6 +238,7 @@ def test_serve_path_decline_and_eviction(index, queries, monkeypatch):
     {"codec": "opt"},
     {"codec": "s8b"},
     {"codec": "s16"},
+    {"codec": "qmx"},
     {"block_partition": "variable"},
     {"codec": "bp128", "block_partition": "variable"},
 ])
