@@ -277,8 +277,27 @@ def cmd_trec_eval(args):
 # ------------------------------------------------------- inspection tools
 
 def cmd_lexicon(args):
+    if getattr(args, "table", None):  # v1 binary lookup-table interop path
+        from pisa_spark.sources.lookup_table import read_lookup_table
+
+        lt = read_lookup_table(args.table)
+        if args.action == "print":
+            for i in range(min(len(lt), args.limit)):
+                print(json.dumps({"term_id": i, "term": lt[i].decode()}))
+        elif args.action == "lookup":
+            print(json.dumps({"term": args.value,
+                              "term_id": lt.find(args.value.encode())}))
+        elif args.action == "rlookup":
+            print(json.dumps({"term_id": int(args.value),
+                              "term": lt[int(args.value)].decode()}))
+        else:
+            print(json.dumps({"terms": len(lt), "sorted": lt.sorted}))
+        return
+    if not args.index:
+        raise SystemExit("lexicon: -i/--index required unless --table")
     spark = _spark(args)
-    lex = _load_index(spark, args).lexicon
+    index = _load_index(spark, args)
+    lex = index.lexicon
     if args.action == "print":
         _emit(lex.orderBy("term_id"), n=args.limit)
     elif args.action == "lookup":
@@ -286,7 +305,14 @@ def cmd_lexicon(args):
     elif args.action == "rlookup":
         _emit(lex.filter(lex.term_id == int(args.value)))
     else:  # build — the lexicon is a build artifact already
-        print(json.dumps({"terms": lex.count(), "artifact": "lexicon"}))
+        out = {"terms": lex.count(), "artifact": "lexicon"}
+        if getattr(args, "export_table", None):
+            from pisa_spark.sources.lookup_table import \
+                lexicon_to_lookup_table
+
+            out["lookup_table"] = lexicon_to_lookup_table(
+                index, args.export_table)
+        print(json.dumps(out))
 
 
 def cmd_read_collection(args):
@@ -437,8 +463,8 @@ def cmd_lookup_table(args):
 
 # -------------------------------------------------------------- argparse
 
-def _add_index_flags(p, queries: bool = True):
-    p.add_argument("-i", "--index", required=True,
+def _add_index_flags(p, queries: bool = True, index_required: bool = True):
+    p.add_argument("-i", "--index", required=index_required,
                    help="index directory (BuildManifest out_dir)")
     if queries:
         p.add_argument("-q", "--queries", required=True,
@@ -534,8 +560,14 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("lexicon")
     p.add_argument("action", choices=["build", "print", "lookup", "rlookup"])
     p.add_argument("value", nargs="?")
-    _add_index_flags(p, queries=False)
+    _add_index_flags(p, queries=False, index_required=False)
     p.add_argument("--limit", type=int, default=50)
+    p.add_argument("--table", help="operate on a v1 binary lookup table "
+                   "file instead of the index lexicon (reference lexicon "
+                   "interop; no Spark session)")
+    p.add_argument("--export", dest="export_table",
+                   help="with action=build: also write the lexicon as a "
+                   "v1 binary lookup table at this path")
     p.set_defaults(func=cmd_lexicon)
 
     p = sub.add_parser("read_collection")

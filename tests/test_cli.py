@@ -91,8 +91,30 @@ def test_count_postings_and_stem_queries(capsys, index_dir, queries_file):
 
 
 def test_lookup_table_scoped_out():
+    # no standalone lookup_table tool (the reference has none either —
+    # it is a storage format); the interop surface is `lexicon --table /
+    # --export`, tested below
     with pytest.raises(SystemExit):
         main(["lookup_table"])
+
+
+def test_lexicon_lookup_table_interop(capsys, corpus_jsonl, index_dir,
+                                      tmp_path):
+    """lexicon build --export writes the v1 binary lookup table; lookup /
+    rlookup / print / build then operate directly on that file with no
+    Spark session (the reference's mmap access mode)."""
+    table = str(tmp_path / "lex.lt")
+    main(["lexicon", "build", "-i", index_dir, "--export", table])
+    built = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert built["lookup_table"]["terms"] == built["terms"]
+
+    main(["lexicon", "lookup", "spark", "--table", table])
+    looked = json.loads(capsys.readouterr().out)
+    main(["lexicon", "rlookup", str(looked["term_id"]), "--table", table])
+    assert json.loads(capsys.readouterr().out)["term"] == "spark"
+    main(["lexicon", "build", "--table", table])
+    info = json.loads(capsys.readouterr().out)
+    assert info == {"terms": built["terms"], "sorted": True}
 
 
 def test_kstem_lexicon_flag(capsys, corpus_jsonl, tmp_path):
