@@ -455,10 +455,19 @@ def cmd_taily_thresholds(args):
 
 
 def cmd_lookup_table(args):
-    raise SystemExit(
-        "lookup_table is out of scope by design: the reference's on-disk "
-        "payload/lookup-table spec is subsumed by Spark joins against the "
-        "parquet lexicon/docs artifacts (SURVEY.md §2.1).")
+    """Inspect a v1 binary lookup table (the reference's on-disk lexicon/
+    docmap format). The QUERY path stays the Spark join against the
+    parquet lexicon/docs artifacts (SURVEY.md §2.1); this tool plus
+    `lexicon --table/--export` are the interop surface with tables built
+    by the reference's tooling."""
+    import os
+
+    from pisa_spark.sources.lookup_table import read_lookup_table
+
+    lt = read_lookup_table(args.table)
+    print(json.dumps({"path": args.table, "terms": len(lt),
+                      "sorted": lt.sorted, "wide_offsets": lt.wide,
+                      "bytes": os.path.getsize(args.table)}))
 
 
 # -------------------------------------------------------------- argparse
@@ -664,6 +673,7 @@ def main(argv: list[str] | None = None) -> None:
     p.set_defaults(func=cmd_taily_thresholds)
 
     p = sub.add_parser("lookup_table")
+    p.add_argument("table", help="v1 binary lookup-table file")
     p.set_defaults(func=cmd_lookup_table, tool="lookup_table")
 
     args = top.parse_args(argv)

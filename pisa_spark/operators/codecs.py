@@ -1045,6 +1045,40 @@ _S8B_MODES = ((240, 0), (120, 0), (60, 1), (30, 2), (20, 3), (15, 4),
               (4, 15), (3, 20), (2, 30), (1, 60))
 
 
+def _best_selectors(nbits: np.ndarray, modes) -> np.ndarray:
+    """Densest fitting (count, width) selector per position for the
+    word-aligned one-width-per-word codecs (s8b, qmx).
+
+    fit[s][i]: do nbits[i:i+count_s] all fit in width_s bits? (windows
+    shorter than count_s at the tail count as fitting — the last word
+    simply packs fewer real values, zero-padded). Windowed maxima come
+    from a sparse table (doubling maxima, O(n log maxcount) total):
+    max over [i, i+c) = max(m_j[i], m_j[i+c-2^j]) with 2^j <= c — vs
+    O(n x sum(counts)) for naive sliding windows. Fit is monotone in
+    selector id (higher id = narrower window + wider width), so
+    overwriting from sparsest to densest leaves the densest fitting
+    selector without a (len(modes), n) stack/argmax."""
+    n = nbits.size
+    maxcount = max(m[0] for m in modes)
+    logc = (maxcount - 1).bit_length()
+    pad = np.concatenate([nbits, np.zeros(maxcount, dtype=nbits.dtype)])
+    sparse = [pad]
+    for k in range(logc):
+        step = 1 << k
+        sparse.append(np.maximum(sparse[-1][:-step], sparse[-1][step:]))
+
+    def _wmax(c: int) -> np.ndarray:
+        j = c.bit_length() - 1
+        mj = sparse[j]
+        return np.maximum(mj[:n], mj[c - (1 << j):c - (1 << j) + n])
+
+    best = np.full(n, len(modes) - 1, dtype=np.int64)
+    for s in range(len(modes) - 2, -1, -1):
+        count, width = modes[s]
+        best[_wmax(count) <= width] = s
+    return best
+
+
 def _word_starts(best: np.ndarray, counts_of_best: np.ndarray) -> np.ndarray:
     """Positions where greedy words begin: the orbit of 0 under the jump
     map nxt[i] = i + count(best[i]), resolved with pointer doubling —
@@ -1079,30 +1113,7 @@ def s8b_encode(values: np.ndarray) -> bytes:
     nbits = _bit_lengths(v)
     if int(nbits.max()) > 60:
         raise ValueError("simple8b encodes values of <= 60 bits")
-    # fit[s][i]: do values[i:i+count_s] all fit in width_s bits?
-    # (windows shorter than count_s at the tail count as fitting — the
-    # last word simply packs fewer real values, zero-padded). Windowed
-    # maxima come from a sparse table (doubling maxima, O(n log maxcount)
-    # total): max over [i, i+c) = max(m_j[i], m_j[i+c-2^j]) with 2^j <= c —
-    # vs O(n x sum(counts)) ~ 543n for naive sliding windows.
-    pad = np.concatenate([nbits, np.zeros(240, dtype=nbits.dtype)])
-    sparse = [pad]
-    for k in range(8):  # 2^8 = 256 >= max mode count
-        step = 1 << k
-        sparse.append(np.maximum(sparse[-1][:-step], sparse[-1][step:]))
-
-    def _wmax(c: int) -> np.ndarray:
-        j = c.bit_length() - 1
-        mj = sparse[j]
-        return np.maximum(mj[:n], mj[c - (1 << j):c - (1 << j) + n])
-
-    # first (densest) fitting selector per position: s8b fit is monotone in
-    # s (smaller count => wider width), so overwriting from sparsest to
-    # densest leaves the smallest fitting s — no (16, n) stack/argmax
-    best = np.full(n, len(_S8B_MODES) - 1, dtype=np.int64)
-    for s in range(len(_S8B_MODES) - 2, -1, -1):
-        count, width = _S8B_MODES[s]
-        best[_wmax(count) <= width] = s
+    best = _best_selectors(nbits, _S8B_MODES)
     s8b_counts = np.array([m[0] for m in _S8B_MODES], dtype=np.int64)
     starts = _word_starts(best, s8b_counts[best])
     sel = best[starts]
@@ -1256,24 +1267,7 @@ def qmx_encode(values: np.ndarray) -> bytes:
     nbits = _bit_lengths(v)
     if int(nbits.max()) > 32:
         raise ValueError("qmx encodes values of <= 32 bits")
-    # densest fitting selector per position (fit is monotone in selector
-    # id: higher id = narrower window + wider width, so overwriting from
-    # sparsest to densest leaves the densest fit — same trick as s8b)
-    pad = np.concatenate([nbits, np.zeros(256, dtype=nbits.dtype)])
-    sparse = [pad]
-    for k in range(8):  # 2^8 = 256 = max mode count
-        step = 1 << k
-        sparse.append(np.maximum(sparse[-1][:-step], sparse[-1][step:]))
-
-    def _wmax(c: int) -> np.ndarray:
-        j = c.bit_length() - 1
-        mj = sparse[j]
-        return np.maximum(mj[:n], mj[c - (1 << j):c - (1 << j) + n])
-
-    best = np.full(n, len(_QMX_MODES) - 1, dtype=np.int64)  # 4x32b always fits
-    for s in range(len(_QMX_MODES) - 2, -1, -1):
-        count, width = _QMX_MODES[s]
-        best[_wmax(count) <= width] = s
+    best = _best_selectors(nbits, _QMX_MODES)
     starts = _word_starts(best, _QMX_COUNTS[best])
     sel = best[starts]
     # selector bytes: equal-selector word runs, capped at 16 per byte

@@ -423,7 +423,10 @@ def _video_feature(payload: bytes) -> np.ndarray:
     v[0] = dur
     v[1] = len(boxes)
     for tag, size in boxes[:FEATURE_DIM - 2]:
-        v[2 + hash(tag) % (FEATURE_DIM - 2)] += size
+        # stable bucket: Python's hash() is salted per process (PYTHONHASHSEED),
+        # which would make the feature differ across executors/retries
+        slot = zlib.crc32(tag.encode("latin-1", "replace"))
+        v[2 + slot % (FEATURE_DIM - 2)] += size
     n = np.linalg.norm(v)
     return v / n if n else v
 

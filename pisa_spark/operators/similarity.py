@@ -202,8 +202,14 @@ def ivf_ann_topk(embeddings, query_ids: list[int], k: int = 10,
                           F.col(vec_col).alias("v"),
                           _norm(F.col(vec_col)).alias("nrm"))
 
+    spark = embeddings.sparkSession
+    empty = spark.createDataFrame(
+        [], "qid long, vid long, cosine double, rank int")
+
     # ---- train: deterministic hash-sampled subset, driver k-means
     n_total = embeddings.count()
+    if n_total == 0:
+        return empty
     step = max(1, n_total // max(train_sample, 1))
     sample_pdf = (e.filter(F.pmod(F.xxhash64("vid"), F.lit(step)) == 0)
                   .select("vid", "v").orderBy("vid")
@@ -218,12 +224,13 @@ def ivf_ann_topk(embeddings, query_ids: list[int], k: int = 10,
     # query set is a small list by contract)
     q_pdf = (e.filter(F.col("vid").isin(query_ids))
              .select("vid", "v").toPandas())
+    if q_pdf.empty:  # none of the requested ids exist in the table
+        return empty
     qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float32)
     qmat = qmat / np.clip(np.linalg.norm(qmat, axis=1, keepdims=True),
                           1e-12, None)
     order = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")
     probes = order[:, :min(nprobe, cent.shape[0])]
-    spark = embeddings.sparkSession
     q_lists = spark.createDataFrame(
         [(int(q), int(l)) for q, row in zip(q_pdf["vid"], probes)
          for l in row],

@@ -605,13 +605,24 @@ class _ServeState:
         self.term_runs: dict[tuple[int, int], object] = {}
 
 
-def _serve_state(index):
+def _serve_state(index, prefetch: bool = True):
     """Build (once) or fetch the index's _ServeState; None when the index
     exceeds the driver-memory bounds (callers fall back to the
-    distributed join plan)."""
+    distributed join plan).
+
+    prefetch=False builds/returns the METADATA-ONLY state (lexicon +
+    shard meta — two bounded collects, no posting bytes): the batch
+    executor needs tmeta/smeta for driver-side query analysis but runs
+    its kernels executor-side and never reads the driver row cache, so
+    it must not pay the whole-index posting fetch. The prefetch runs
+    lazily on the first interactive-serve use instead."""
     cached = getattr(index, "_serve_state", None)
     if cached is not None:
-        return cached if cached is not False else None
+        if cached is False:
+            return None
+        if prefetch:
+            _serve_prefetch(index, cached)
+        return cached
     spark = index.lexicon.sparkSession
     if index.stats.get("num_docs", 1 << 62) > SERVE_MAX_DOCS:
         index._serve_state = False
@@ -630,33 +641,44 @@ def _serve_state(index):
             int(r["base_doc"]), np.asarray(r["doc_lens"], dtype=np.int64))
     bc = spark.sparkContext.broadcast(smeta)
     st = _ServeState(tmeta, smeta, bc)
-    # whole-index prefetch: when every posting row fits the resident cache
-    # budget, fetch them ALL in one job now — the reference's query tools
-    # likewise load/mmap the full index before serving a single query
-    # (tools/queries.cpp:279-340). Per-query latency then never pays a
-    # Spark job: first-seen terms are already resident.
-    total_postings = sum(m[1] for m in tmeta.values())
-    if total_postings <= SERVE_CACHE_MAX_POSTINGS:
-        src = getattr(index, "postings_str", None)
-        pdf = (src if src is not None else index.postings).toPandas()
-        if "term" in pdf.columns:
-            pdf = pdf.assign(
-                term_id=pdf["term"].map(lambda t: tmeta[t][0]))
-        else:
-            id2term = {m[0]: t for t, m in tmeta.items()}
-            pdf = pdf.assign(term=pdf["term_id"].map(id2term))
-        id2meta = {m[0]: (m[1], m[2]) for m in tmeta.values()}
-        pdf = pdf.assign(
-            df=pdf["term_id"].map(lambda t: id2meta[int(t)][0]),
-            cf=pdf["term_id"].map(lambda t: id2meta[int(t)][1]))
-        terms_np = pdf["term"].to_numpy()
-        pdf = pdf.drop(columns=["term"])
-        for t, row in zip(terms_np, pdf.itertuples(index=False)):
-            st.rows_by_term.setdefault(t, {})[int(row.shard_id)] = row
-        st.cached_postings = total_postings
-        st.complete = True
     index._serve_state = st
-    return index._serve_state
+    if prefetch:
+        _serve_prefetch(index, st)
+    return st
+
+
+def _serve_prefetch(index, st) -> None:
+    """Whole-index posting prefetch: when every posting row fits the
+    resident cache budget, fetch them ALL in one job — the reference's
+    query tools likewise load/mmap the full index before serving a single
+    query (tools/queries.cpp:279-340). Per-query serve latency then never
+    pays a Spark job: first-seen terms are already resident. No-op when
+    already complete or when the index exceeds the budget (the lazy
+    bounded per-term cache handles those)."""
+    if st.complete:
+        return
+    tmeta = st.tmeta
+    total_postings = sum(m[1] for m in tmeta.values())
+    if total_postings > SERVE_CACHE_MAX_POSTINGS:
+        return
+    src = getattr(index, "postings_str", None)
+    pdf = (src if src is not None else index.postings).toPandas()
+    if "term" in pdf.columns:
+        pdf = pdf.assign(
+            term_id=pdf["term"].map(lambda t: tmeta[t][0]))
+    else:
+        id2term = {m[0]: t for t, m in tmeta.items()}
+        pdf = pdf.assign(term=pdf["term_id"].map(id2term))
+    id2meta = {m[0]: (m[1], m[2]) for m in tmeta.values()}
+    pdf = pdf.assign(
+        df=pdf["term_id"].map(lambda t: id2meta[int(t)][0]),
+        cf=pdf["term_id"].map(lambda t: id2meta[int(t)][1]))
+    terms_np = pdf["term"].to_numpy()
+    pdf = pdf.drop(columns=["term"])
+    for t, row in zip(terms_np, pdf.itertuples(index=False)):
+        st.rows_by_term.setdefault(t, {})[int(row.shard_id)] = row
+    st.cached_postings = total_postings
+    st.complete = True
 
 
 def _topk_search_serve(index, queries: list[str], k: int, algorithm: str,
@@ -1089,7 +1111,8 @@ def topk_search_batch(index, queries: list[str], k: int = 10,
     # path), analyze driver-side — zero Spark jobs before the main pass.
     # The reference's evaluate_queries likewise resolves terms against the
     # loaded lexicon before any evaluation (evaluate_queries.cpp:79-101).
-    st = _serve_state(index) if isinstance(queries, list) else None
+    st = (_serve_state(index, prefetch=False)
+          if isinstance(queries, list) else None)
     term_queries: dict[int, list] = {}
     term_stats: dict[int, tuple] = {}
     n_terms: dict[str, int] = {}

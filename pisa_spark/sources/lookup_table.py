@@ -122,7 +122,7 @@ def encode_lookup_table(payloads: Sequence[bytes | str],
                        dtype="<u8" if wide_offsets else "<u4")
     offsets[1:] = np.cumsum([len(p) for p in items])
     return (bytes([MAGIC, VERSION, flags, 0, 0, 0, 0, 0])
-            + np.uint64(len(items)).tobytes()
+            + np.array([len(items)], dtype="<u8").tobytes()
             + offsets.tobytes()
             + b"".join(items))
 

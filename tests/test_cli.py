@@ -90,10 +90,7 @@ def test_count_postings_and_stem_queries(capsys, index_dir, queries_file):
     assert out[1] == "q1:queri rank engin"
 
 
-def test_lookup_table_scoped_out():
-    # no standalone lookup_table tool (the reference has none either —
-    # it is a storage format); the interop surface is `lexicon --table /
-    # --export`, tested below
+def test_lookup_table_requires_file():
     with pytest.raises(SystemExit):
         main(["lookup_table"])
 
@@ -115,6 +112,11 @@ def test_lexicon_lookup_table_interop(capsys, corpus_jsonl, index_dir,
     main(["lexicon", "build", "--table", table])
     info = json.loads(capsys.readouterr().out)
     assert info == {"terms": built["terms"], "sorted": True}
+
+    main(["lookup_table", table])  # inspector tool
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["terms"] == built["terms"] and meta["sorted"]
+    assert not meta["wide_offsets"]
 
 
 def test_kstem_lexicon_flag(capsys, corpus_jsonl, tmp_path):

@@ -389,3 +389,16 @@ def test_ivf_ann_recall_and_exact_scores(embeddings):
     a = full.sort_values(["qid", "rank"]).reset_index(drop=True)
     b = exact.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert (a.vid.values == b.vid.values).all()
+
+
+def test_ivf_ann_unknown_ids_and_empty_table(spark, embeddings):
+    """Unknown query ids / an empty table return an empty result, not a
+    numpy stack error mid-plan (parity with lsh_ann_topk)."""
+    out = similarity.ivf_ann_topk(embeddings, [999_999], k=5, nlists=8,
+                                  train_sample=400, iters=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["qid", "vid", "cosine", "rank"]
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    assert similarity.ivf_ann_topk(empty, [0], k=5).count() == 0

@@ -188,6 +188,24 @@ def test_batch_executor_identity(index, queries):
         assert a == b, alg
 
 
+def test_batch_executor_skips_posting_prefetch(index, queries):
+    """A batch-only workload must not pay the interactive serve path's
+    whole-index posting fetch: its kernels run executor-side and never
+    read the driver row cache — it only needs the lexicon/shard metadata.
+    The prefetch then runs lazily on the first interactive-serve call."""
+    from pisa_spark.operators.topk import topk_search_batch
+
+    if hasattr(index, "_serve_state"):
+        del index._serve_state
+    topk_search_batch(index, queries, k=K).collect()
+    st = index._serve_state
+    assert st is not None and st is not False  # metadata built...
+    assert not st.complete and not st.rows_by_term  # ...no posting bytes
+    topk_search(index, queries[:1], k=K, with_urls=False).collect()
+    assert st.complete  # first serve call prefetched
+    del index._serve_state
+
+
 def test_serve_path_decline_and_eviction(index, queries, monkeypatch):
     """The serve plan must (a) decline and fall back to the distributed
     join plan when the index exceeds its driver-memory bounds, and (b)
