@@ -507,6 +507,24 @@ def _q_qld_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_pl2_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import pl2_topk_dataframe
+
+    out = pl2_topk_dataframe(_documents(spark, sf_dir), QUERY_SET, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_dph_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.topk import dph_topk_dataframe
+
+    out = dph_topk_dataframe(_documents(spark, sf_dir), QUERY_SET, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_count_postings(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -693,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
         "qld_topk": _q_qld_topk,
+        "pl2_topk": _q_pl2_topk,
+        "dph_topk": _q_dph_topk,
         "count_postings": _q_count_postings,
         "bm25_thresholds": _q_bm25_thresholds,
         "intersection_pairs": _q_intersection_pairs,
@@ -1018,6 +1038,66 @@ select qid, doc_id, score, rank from (
   from scored where score > 0) where rank <= 10
 """
 
+    # PL2 (reference scorer/pl2.hpp:25-40) and DPH (scorer/dph.hpp:21-36)
+    # mirrored term-by-term against the DataFrame oracle paths in
+    # operators/topk.py (same double-precision expression shape, round 6).
+    pl2_sql = f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+cft as (select term, count(*) as cf from toks group by term),
+stats as (select (select count(*) from documents) as n,
+                 (select sum(dl) from dl)::double
+                 / (select count(*) from documents) as avg),
+qt as (select distinct qid, term from {qv}),
+scored as (
+  select qt.qid, tf.doc_id,
+         round(sum(
+           (1.0 / ((tf.tf * log2(1.0 + (1.0 * stats.avg) / dl.dl)) + 1.0))
+           * ((tf.tf * log2(1.0 + (1.0 * stats.avg) / dl.dl))
+                * log2(1.0 / (cft.cf / stats.n::double))
+              + (cft.cf / stats.n::double) * ln(0.5)
+              + 0.5 * log2(2.0 * pi()
+                           * (tf.tf * log2(1.0 + (1.0 * stats.avg) / dl.dl)))
+              + (tf.tf * log2(1.0 + (1.0 * stats.avg) / dl.dl))
+                * (log2(tf.tf * log2(1.0 + (1.0 * stats.avg) / dl.dl))
+                   - ln(0.5)))),
+               6) as score
+  from qt join tf using(term) join dl on tf.doc_id = dl.doc_id
+       join cft on tf.term = cft.term cross join stats
+  group by qt.qid, tf.doc_id)
+select qid, doc_id, score, rank from (
+  select *, row_number() over (partition by qid
+                               order by score desc, doc_id) as rank
+  from scored) where rank <= 10
+"""
+
+    dph_sql = f"""
+with {_toks_cte()},
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+cft as (select term, count(*) as cf from toks group by term),
+stats as (select (select count(*) from documents) as n,
+                 (select sum(dl) from dl)::double
+                 / (select count(*) from documents) as avg),
+qt as (select distinct qid, term from {qv}),
+scored as (
+  select qt.qid, tf.doc_id,
+         round(sum(
+           ((1.0 - tf.tf / dl.dl) * (1.0 - tf.tf / dl.dl) / (tf.tf + 1.0))
+           * (tf.tf * log2((tf.tf * stats.avg / dl.dl)
+                           * (stats.n::double / cft.cf))
+              + 0.5 * log2(2.0 * pi() * tf.tf * (1.0 - tf.tf / dl.dl)))),
+               6) as score
+  from qt join tf using(term) join dl on tf.doc_id = dl.doc_id
+       join cft on tf.term = cft.term cross join stats
+  group by qt.qid, tf.doc_id)
+select qid, doc_id, score, rank from (
+  select *, row_number() over (partition by qid
+                               order by score desc, doc_id) as rank
+  from scored) where rank <= 10
+"""
+
     trec_eval_sql = f"""
 with {_toks_cte()},
 dl as (select doc_id, count(*) as dl from toks group by doc_id),
@@ -1082,6 +1162,8 @@ from nrel left join perq on nrel.qid = perq.qid
 
     return {
         "qld_topk": qld_sql,
+        "pl2_topk": pl2_sql,
+        "dph_topk": dph_sql,
         "count_postings": f"""
 with {_toks_cte()},
 dft as (select term, count(distinct doc_id) as df from toks group by term),

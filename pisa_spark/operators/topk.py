@@ -1352,6 +1352,118 @@ def qld_topk_dataframe(docs_df, queries: list[str], k: int = 10,
             .select("qid", "doc_id", "score", "rank"))
 
 
+def pl2_topk_dataframe(docs_df, queries: list[str], k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       c: float = 1.0, cfg: IndexConfig | None = None):
+    """Pure-DataFrame exhaustive PL2 (DFR) top-k — the reference
+    scorer/pl2.hpp:25-40 formula
+        tfn  = tf * log2(1 + c*avgdl/dl)
+        norm = 1/(tfn + 1)
+        f    = cf / N
+        norm * (tfn*log2(1/f) + f*ln(1/2) + 0.5*log2(2*pi*tfn)
+                + tfn*(log2(tfn) - ln(1/2)))
+    as built-in expressions. Double precision + round(6): the cross-engine
+    oracle path (the float32-faithful path is IndexConfig(scorer='pl2') +
+    the kernel executors)."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import english_tokens_col
+
+    cfg = cfg or IndexConfig()
+    spark = docs_df.sparkSession
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf_t = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    n_docs = docs_df.count()
+    total = doc_len.agg(F.sum("dl")).collect()[0][0] or 0
+    avg_len = float(total) / n_docs if n_docs else 1.0
+
+    qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
+    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+
+    tfn = F.col("tf") * F.log2(F.lit(1.0)
+                               + F.lit(c * avg_len) / F.col("dl"))
+    norm = F.lit(1.0) / (tfn + F.lit(1.0))
+    freq = F.col("cf") / F.lit(float(n_docs))
+    e = F.lit(math.log(0.5))
+    part = norm * (
+        tfn * F.log2(F.lit(1.0) / freq)
+        + freq * e
+        + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * tfn)
+        + tfn * (F.log2(tfn) - e)
+    )
+    scored = (
+        qdf.join(tf, "term").join(doc_len, "doc_id").join(cf_t, "term")
+        .select("qid", "doc_id", part.alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank"))
+
+
+def dph_topk_dataframe(docs_df, queries: list[str], k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       cfg: IndexConfig | None = None):
+    """Pure-DataFrame exhaustive DPH (parameter-free DFR) top-k — the
+    reference scorer/dph.hpp:21-36 formula
+        f    = tf/dl
+        norm = (1-f)^2 / (tf+1)
+        norm * (tf*log2((tf*avgdl/dl) * (N/cf)) + 0.5*log2(2*pi*tf*(1-f)))
+    as built-in expressions. Double precision + round(6): the cross-engine
+    oracle path (the float32-faithful path is IndexConfig(scorer='dph') +
+    the kernel executors)."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import english_tokens_col
+
+    cfg = cfg or IndexConfig()
+    spark = docs_df.sparkSession
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf_t = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    n_docs = docs_df.count()
+    total = doc_len.agg(F.sum("dl")).collect()[0][0] or 0
+    avg_len = float(total) / n_docs if n_docs else 1.0
+
+    qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
+    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+
+    f = F.col("tf") / F.col("dl")
+    norm = (F.lit(1.0) - f) * (F.lit(1.0) - f) / (F.col("tf") + F.lit(1.0))
+    part = norm * (
+        F.col("tf") * F.log2(
+            (F.col("tf") * F.lit(avg_len) / F.col("dl"))
+            * (F.lit(float(n_docs)) / F.col("cf")))
+        + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * F.col("tf")
+                              * (F.lit(1.0) - f))
+    )
+    scored = (
+        qdf.join(tf, "term").join(doc_len, "doc_id").join(cf_t, "term")
+        .select("qid", "doc_id", part.alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank"))
+
+
 def trec_output(results_df, run_id: str = "pisa_spark"):
     """Format results as TREC run lines: qid Q0 url rank score run_id
     (reference evaluate_queries.cpp:159-172)."""
