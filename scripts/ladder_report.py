@@ -55,6 +55,30 @@ def main(path: str) -> None:
               for rn, r4 in zip(rs_n, rs_4)]
     print(f"paired per-repeat query ratios: {qpairs}")
 
+    # encode-stage breakdown (kernel vs cache-write vs stats-agg), when the
+    # workers recorded it — the fixed-share analysis behind the per-phase
+    # encode efficiency number.
+    sub = sorted({k for rs in (rs_n, rs_4) for r in rs
+                  for k in r.get("encode_breakdown", {})})
+    if sub:
+        print("encode breakdown 2->8 (medians):")
+        for k in sub:
+            lo = statistics.median(
+                r.get("encode_breakdown", {}).get(k, 0.0) for r in rs_n)
+            hi = statistics.median(
+                r.get("encode_breakdown", {}).get(k, 0.0) for r in rs_4)
+            eff = lo / (4 * hi) if hi > 0 else float("nan")
+            print(f"  {k:15s} {lo:7.2f}s -> {hi:7.2f}s   eff {eff:.3f}")
+
+    # raw per-repeat build/batch seconds per level: the spread is the
+    # window's noise disclosure (unimodal tight spread = calm box)
+    for c in levels:
+        rs = runs[str(c)] if str(c) in runs else runs[c]
+        builds = [round(r["build_seconds"], 1) for r in rs]
+        batches = [r[next(k for k in r if k.endswith("q_seconds"))]
+                   for r in rs]
+        print(f"local[{c}] raw build s: {builds}  batch s: {batches}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1])
