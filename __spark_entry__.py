@@ -51,6 +51,10 @@ QUERY_SET = [
     "Q10:window zzzunknownterm",   # unknown term dropped
     "Q11:shuffle spill partition",
     "Q12:a the scan",              # stopword-grade heavy hitters
+    "Q13:dup scan filter",         # rare term (df ~ 5%): conjunctive top-k
+                                   # differs from disjunctive, idf above the
+                                   # eps clamp — discriminates ranked_and
+                                   # from ranked_or and exercises real idf
 ]
 
 N_MINHASH = 16
@@ -99,6 +103,14 @@ def _qterms_values_sql() -> str:
     rows = sorted({(qid, term) for qid, term, _ in _qterm_rows()})
     vals = ", ".join(f"('{q}', '{t}')" for q, t in rows)
     return f"(values {vals}) as qterms(qid, term)"
+
+
+def _qterms_weighted_values_sql() -> str:
+    """(qid, term, w) view: w = the analyzer's term-multiplicity weight
+    (Q09 'join join sort' carries join@2), for the weighted-query twin."""
+    rows = sorted({(qid, term, w) for qid, term, w in _qterm_rows()})
+    vals = ", ".join(f"('{q}', '{t}', {w!r})" for q, t, w in rows)
+    return f"(values {vals}) as qterms(qid, term, w)"
 
 
 # ------------------------------------------------------------------ helpers
@@ -247,6 +259,66 @@ def _q_bm25_topk_batch(spark, sf_dir):
     return _score_bits_select(
         topk_search_batch(idx, QUERY_SET, k=10,
                           algorithm="block_max_wand", with_urls=True))
+
+
+def _q_bm25_topk_wand(spark, sf_dir):
+    """Plain WAND (term-upper-bound pruning, wand_query.hpp role) — same
+    oracle contract as _q_bm25_topk_bmw: pruned ≡ exhaustive ranking,
+    rank+score_bits hash-compared against the f32-faithful DuckDB twin."""
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, sf_dir)
+    return _score_bits_select(
+        topk_search(idx, QUERY_SET, k=10, algorithm="wand"))
+
+
+def _q_bm25_topk_bmm(spark, sf_dir):
+    """Block-Max-MaxScore (per-doc block-refined non-essential bound,
+    block_max_maxscore_query.hpp:10-101) — same oracle contract as
+    _q_bm25_topk_bmw."""
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, sf_dir)
+    return _score_bits_select(
+        topk_search(idx, QUERY_SET, k=10, algorithm="block_max_maxscore"))
+
+
+def _q_bm25_topk_ranked_and(spark, sf_dir):
+    """Conjunctive ranked AND (ranked_and_query.hpp:9-47): docs containing
+    EVERY known query term, BM25-ranked. DuckDB twin = the f32-faithful
+    ranking SQL restricted to docs whose matched-term count equals the
+    query's in-vocabulary term count (conjunctive=True), compared on
+    (qid, doc_id, rank, score_bits)."""
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, sf_dir)
+    return _score_bits_select(
+        topk_search(idx, QUERY_SET, k=10, algorithm="ranked_and"))
+
+
+def _q_bm25_topk_bm_ranked_and(spark, sf_dir):
+    """Block-Max ranked AND (block-skip conjunction,
+    block_max_ranked_and_query.hpp role) — same conjunctive twin as
+    _q_bm25_topk_ranked_and."""
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, sf_dir)
+    return _score_bits_select(
+        topk_search(idx, QUERY_SET, k=10, algorithm="block_max_ranked_and"))
+
+
+def _q_bm25_topk_weighted(spark, sf_dir):
+    """Weighted-query Block-Max-WAND: each term's contribution scales by
+    its query multiplicity (query.cpp:45-82 — Q09 'join join sort' weights
+    join at 2.0). The DuckDB twin folds the weight into the f32 idf with
+    the kernels' exact expression grouping (weighted=True), so the hash
+    pins the weighted f32 score surface end-to-end."""
+    from pisa_spark.operators.topk import topk_search
+
+    idx = _get_index(spark, sf_dir)
+    return _score_bits_select(
+        topk_search(idx, QUERY_SET, k=10, algorithm="block_max_wand",
+                    weighted=True))
 
 
 def _get_quantized_index(spark: SparkSession, sf_dir: str):
@@ -693,6 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": _q_bm25_topk_maxscore,
         "bm25_topk_batch": _q_bm25_topk_batch,
         "bm25_topk_quantized": _q_bm25_topk_quantized,
+        "bm25_topk_wand": _q_bm25_topk_wand,
+        "bm25_topk_bmm": _q_bm25_topk_bmm,
+        "bm25_topk_ranked_and": _q_bm25_topk_ranked_and,
+        "bm25_topk_bm_ranked_and": _q_bm25_topk_bm_ranked_and,
+        "bm25_topk_weighted": _q_bm25_topk_weighted,
         "image_decode_stats": _q_image_decode_stats,
         "boolean_and_count": _q_boolean_and,
         "boolean_or_count": _q_boolean_or,
@@ -806,7 +883,8 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
-def _bm25_f32_rank_sql(qv: str) -> str:
+def _bm25_f32_rank_sql(qv: str, weighted: bool = False,
+                       conjunctive: bool = False) -> str:
     """DuckDB oracle reproducing the INDEX kernels' float32 BM25 bit-for-bit
     (functions/scoring.py Bm25 + topk._canonical_scores), compared on the
     (qid, doc_id, rank) surface.
@@ -829,7 +907,16 @@ def _bm25_f32_rank_sql(qv: str) -> str:
     numpy.view(int32) on randomized corpora). This closes the last
     rank-only surface: the driver hash now pins the pruned executors'
     SCORES against DuckDB's independent float32 arithmetic, matching the
-    reference's score-comparing tests (test_ranked_queries.cpp:158-161)."""
+    reference's score-comparing tests (test_ranked_queries.cpp:158-161).
+
+    weighted=True: qv must carry a per-(qid, term) weight column w (term
+    multiplicity, query.cpp:45-82); each contribution is (idf_f32 * w_f32)
+    * part_f32 with the kernels' exact grouping (_TermRun.__init__:100-103
+    folds w into idf in f32 BEFORE the doc part multiply).
+    conjunctive=True: ranked_and semantics — a doc qualifies only when it
+    contains EVERY query term present in the collection vocabulary
+    (unknown terms are dropped at parse, known-but-absent-in-doc terms
+    disqualify; ranked_and_query.hpp:9-47 intersects the cursor set)."""
     r = "cast({} as real)".format
     half, one, k1, b, eps = (r("0.5"), r("1"), r("0.9"), r("0.4"), r("1e-6"))
     idf = (f"cast(greatest({eps}, cast(ln(cast("
@@ -838,6 +925,38 @@ def _bm25_f32_rank_sql(qv: str) -> str:
            f"* ({one} + {k1})")
     part = (f"cast(tf.tf as real) / (cast(tf.tf as real) + {k1} * "
             f"(({one} - {b}) + {b} * (cast(dl.dl as real) / stats.avgr)))")
+    if weighted:
+        qt_cte = f"qt as (select qid, term, w from {qv})"
+        contrib = f"(({idf}) * cast(qt.w as real)) * ({part})"
+    else:
+        qt_cte = f"qt as (select distinct qid, term from {qv})"
+        contrib = f"({idf}) * ({part})"
+    if conjunctive:
+        need_cte = """,
+need as (select qt.qid, count(distinct qt.term) as need
+         from qt join (select distinct term from toks) vt using(term)
+         group by qt.qid)"""
+        scored_from = """
+scored as (
+  select qid, doc_id,
+         list_reduce(list(c order by term), (a, b) -> a + b) as score,
+         count(*) as nt
+  from contrib group by qid, doc_id),
+ranked as (
+  select qid, doc_id, score, row_number() over (partition by qid
+                               order by score desc, doc_id) as rank
+  from scored join need using(qid) where score > 0 and nt = need)"""
+    else:
+        need_cte = ""
+        scored_from = """
+scored as (
+  select qid, doc_id,
+         list_reduce(list(c order by term), (a, b) -> a + b) as score
+  from contrib group by qid, doc_id),
+ranked as (
+  select qid, doc_id, score, row_number() over (partition by qid
+                               order by score desc, doc_id) as rank
+  from scored where score > 0)"""
     return f"""
 with {_toks_cte()},
 dl as (select doc_id, count(*) as dl from toks group by doc_id),
@@ -846,19 +965,11 @@ dft as (select term, count(distinct doc_id) as df from tf group by term),
 stats as (select (select count(*) from documents) as n,
                  cast((select sum(dl) from dl)::double
                       / (select count(*) from documents) as real) as avgr),
-qt as (select distinct qid, term from {qv}),
+{qt_cte}{need_cte},
 contrib as (
-  select qt.qid, tf.doc_id, tf.term, ({idf}) * ({part}) as c
+  select qt.qid, tf.doc_id, tf.term, {contrib} as c
   from qt join tf using(term) join dl on tf.doc_id = dl.doc_id
-       join dft on tf.term = dft.term cross join stats),
-scored as (
-  select qid, doc_id,
-         list_reduce(list(c order by term), (a, b) -> a + b) as score
-  from contrib group by qid, doc_id),
-ranked as (
-  select qid, doc_id, score, row_number() over (partition by qid
-                               order by score desc, doc_id) as rank
-  from scored where score > 0)
+       join dft on tf.term = dft.term cross join stats),{scored_from}
 select qid, doc_id, rank,
   ((ec + 127)::bigint << 23)
     | cast(round((score::double / power(2.0::double, ec) - 1) * 8388608)
@@ -1237,6 +1348,12 @@ from orc cross join nd where n_docs / nd.n < 2.0
         "bm25_topk_bmw": _bm25_f32_rank_sql(qv),
         "bm25_topk_maxscore": _bm25_f32_rank_sql(qv),
         "bm25_topk_batch": _bm25_f32_rank_sql(qv),
+        "bm25_topk_wand": _bm25_f32_rank_sql(qv),
+        "bm25_topk_bmm": _bm25_f32_rank_sql(qv),
+        "bm25_topk_ranked_and": _bm25_f32_rank_sql(qv, conjunctive=True),
+        "bm25_topk_bm_ranked_and": _bm25_f32_rank_sql(qv, conjunctive=True),
+        "bm25_topk_weighted": _bm25_f32_rank_sql(
+            _qterms_weighted_values_sql(), weighted=True),
         "bm25_topk_quantized": _bm25_quantized_rank_sql(qv),
         "taily_stats": _taily_stats_sql(),
         "image_decode_stats": _image_stats_sql(),
