@@ -24,7 +24,12 @@ exhaustive BM25 SQL projected to (qid, doc_id, rank)) and further pinned by
 the pytest rank-identity suite (tests/test_topk.py). The five remaining
 rows-only entries (lsh_ann_topk, ivf_ann_topk, stemmed_token_stats,
 profile_queries, taily_thresholds) have no faithful SQL twin — each
-one's docstring says why.
+one's docstring says why. The two ANN paths additionally carry
+exactness-boundary companions (lsh_ann_exact, ivf_ann_exact) that force
+full candidate coverage and hash-match the brute-force cosine twin, so
+the approximate entries' machinery (bucket UDFs, probing, candidate
+joins, rerank) is oracle-checked even though their approximate candidate
+sets cannot be.
 """
 
 from __future__ import annotations
@@ -538,6 +543,39 @@ def _q_ivf_ann_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_lsh_ann_exact(spark, sf_dir):
+    """LSH ANN driven at its exactness boundary: n_planes=1 gives two
+    buckets and the distance-1 multiprobe covers both, so the candidate
+    set is the whole corpus and the ANN path MUST reproduce brute-force
+    cosine top-k exactly. Exercises the full machinery (bucket UDF,
+    probe explode, bucketed join, rerank, window top-k) against the
+    same DuckDB twin as cosine_topk — the standard ANN full-coverage
+    identity (Faiss tests IVF at nprobe=nlist the same way)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10,
+                       n_planes=1, probes=1, multiprobe=1)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_ivf_ann_exact(spark, sf_dir):
+    """IVF ANN at nprobe == nlists: every inverted list is probed, so the
+    candidate set is the whole corpus and the result must be exactly the
+    brute-force cosine top-k regardless of what the k-means trainer
+    produced. Exercises training, vectorized list assignment, probe
+    selection, the broadcast candidate join, and the rerank against the
+    cosine_topk DuckDB twin."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.similarity import ivf_ann_topk
+
+    out = ivf_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10,
+                       nlists=8, nprobe=8, train_sample=2000, iters=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_lang_id(spark, sf_dir):
     from pisa_spark.operators.textstats import language_id
 
@@ -783,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "lsh_ann_exact": _q_lsh_ann_exact,
+        "ivf_ann_exact": _q_ivf_ann_exact,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_stats": _q_token_stats,
@@ -1271,7 +1311,7 @@ from nrel left join perq on nrel.qid = perq.qid
           left join ideal on nrel.qid = ideal.qid
 """
 
-    return {
+    sql = {
         "qld_topk": qld_sql,
         "pl2_topk": pl2_sql,
         "dph_topk": dph_sql,
@@ -1469,3 +1509,9 @@ select doc_id,
 from t
 """,
     }
+    # The exactness-boundary ANN entries (full bucket coverage / all lists
+    # probed) must reproduce brute-force cosine top-k bit-for-bit, so they
+    # share cosine_topk's twin.
+    sql["lsh_ann_exact"] = sql["cosine_topk"]
+    sql["ivf_ann_exact"] = sql["cosine_topk"]
+    return sql
