@@ -38,6 +38,17 @@ def get_spark(app_name: str = "pisa-spark", cores: int | None = None,
         .master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Wave balance for file scans: Spark plans splits of size
+        # min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum)).
+        # The default minPartitionNum (= core count) targets ONE wave of
+        # scan tasks, so a corpus whose packed size lands just above
+        # cores x 128MB plans cores+epsilon tasks -> ceil() quantizes to 2
+        # waves with the second nearly empty (measured: the 1.2M-doc bench
+        # corpus planned 11 splits at 8 cores = 69% scan utilization, the
+        # whole window-14 tokenize-phase scaling loss). Target 4 waves
+        # instead: stragglers overlap, and at production scale
+        # (totalBytes/4N >= 128MB) the cap binds and this is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cores * 4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
