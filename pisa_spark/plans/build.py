@@ -669,6 +669,7 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
     # and silently orphan already-marked postings buckets).
     _mark_gate = None
     _join_writes = None
+    _tok_cache = None
     bucket_starts = None  # per-bucket doc_id starts; enables the
     # shuffle-free docwise encode (lost on parquet resume, where
     # doc_terms' physical partitioning is file splits, not buckets)
@@ -1220,6 +1221,21 @@ def build_index(docs_df, cfg: IndexConfig = DEFAULT_CONFIG,
         # (codec, block layout, analyzer chain) — persist it so load_index
         # restores it without the caller re-stating build flags
         manifest.record_metric("index_config", cfg.to_json_dict())
+
+    # ---- release the forward index (eager in-memory builds): every
+    # downstream artifact (encoded postings, lexicon, shards) now lives in
+    # its own materialized cache, but `docs` is still a lazy projection
+    # over the tokenize cache — whose full (terms, tfs) arrays are ~20x
+    # the slim docmap and would otherwise stay resident in executor
+    # storage for the index's whole serving life (measured 1.9 GB vs the
+    # 2.9 GB total at 1.2M docs). Re-persist the slim projection, then
+    # drop the fat cache. A query service keeps the inverted index hot,
+    # not the forward index (the reference serves from the inv/wand mmaps
+    # alone; fwd is a build-time artifact).
+    if eager and manifest is None and _tok_cache is not None:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        docs.count()
+        _tok_cache.unpersist()
 
     return InvertedIndex(docs=docs, lexicon=lexicon, postings=postings,
                          shards=shards, stats=stats, cfg=cfg,
