@@ -123,12 +123,29 @@ def _qterms_weighted_values_sql() -> str:
 _INDEX_CACHE: dict[str, object] = {}
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Distribute a small-file scan across the cluster (guide §2.5: input
+    skew). The testdata parquet files are single-row-group, so the scan
+    plans ONE real task no matter what minPartitionNum asks for, and every
+    per-row pipeline (tokenize/shingle/hash) downstream of it runs on one
+    core. A round-robin repartition to the session's parallelism is a few
+    MB of shuffle and restores full-cluster execution; it is deterministic
+    (local sort before round-robin) and row-preserving, so every entry's
+    result is unchanged. Scale-adaptive: sized from defaultParallelism,
+    and skipped when the scan already has enough partitions (a real
+    multi-file table at 100 TB hits this branch and stays shuffle-free)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _get_index(spark: SparkSession, sf_dir: str):

@@ -50,6 +50,10 @@ def _hash60(col):
 
 def shingles_col(tokens, n: int = 3):
     """Distinct n-token shingles; docs shorter than n yield none."""
+    if n == 1:
+        # concat_ws(" ", slice(toks, i+1, 1)) == toks[i]; skip the
+        # per-index slice/concat machinery entirely
+        return F.array_distinct(tokens)
     return F.when(
         F.size(tokens) >= n,
         F.array_distinct(F.transform(
@@ -78,10 +82,17 @@ def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text",
     a partial-aggregated shuffle on doc_id, no per-row signature arrays
     (and it avoids PySpark's nested higher-order-function lambda-variable
     collision, which silently corrupts sibling transform() minima)."""
-    toks = english_tokens_col(F.col(text_col))
+    # Materialize tokens as a column BEFORE shingling: shingles_col
+    # references its `tokens` argument inside a transform() lambda, and an
+    # unbound expression there is re-evaluated per shingle index — the
+    # whole regexp tokenize O(T) times per doc (guide §1.2 step 2:
+    # per-task work). A bound attribute is computed once per row.
     sh_flat = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(toks, shingle_n)).alias("s"))
+        english_tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(shingles_col(F.col("_toks"), shingle_n)).alias("s"))
     mix = _minhash_mix(n_hashes)
     base = _hash60(F.col("s"))
     hashed = sh_flat.select(
@@ -143,13 +154,17 @@ def ngram_jaccard_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     for stopwords). Jaccard is then computed over the capped sets: exact on
     the reduced universe, deterministic, and mirrored 1:1 by the SQL oracle.
     None (default) keeps every shingle (exact full-universe Jaccard)."""
-    toks = english_tokens_col(F.col(text_col))
-    sh = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    shingles_col(toks, shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    flat = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # tokens materialized first — see minhash_signatures for why (lambda
+    # re-evaluation of unbound expressions inside shingles_col). No
+    # size(sh)>0 pre-filter: explode drops empty arrays anyway, and a
+    # filter over the computed array gets pushed below the projections by
+    # alias substitution, duplicating the whole tokenize+shingle tree.
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        english_tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(shingles_col(F.col("_toks"), shingle_n)).alias("shingle"))
     if max_shingle_df is not None:
         light = (flat.groupBy("shingle")
                  .agg(F.count("*").alias("_df"))
