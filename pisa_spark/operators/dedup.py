@@ -119,7 +119,10 @@ def minhash_lsh_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
                       shingle_n: int = 3):
     """Candidate near-dup pairs (a < b) sharing at least one LSH band."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
+    # materialized once: both sides of the band self-join read it (see
+    # simhash_pairs — same lineage-cut rationale)
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes,
+                              shingle_n).localCheckpoint()
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -165,12 +168,16 @@ def ngram_jaccard_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     ).select(
         "doc_id",
         F.explode(shingles_col(F.col("_toks"), shingle_n)).alias("shingle"))
+    # flat feeds the df-cap aggregate, both sides of the inverted
+    # self-join, and the per-doc sizes — cut lineage once so the
+    # tokenize+shingle pass runs once, not once per consumer
+    flat = flat.localCheckpoint()
     if max_shingle_df is not None:
         light = (flat.groupBy("shingle")
                  .agg(F.count("*").alias("_df"))
                  .filter(F.col("_df") <= max_shingle_df)
                  .select("shingle"))
-        flat = flat.join(light, "shingle")
+        flat = flat.join(light, "shingle").localCheckpoint()
     sizes = flat.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = flat.alias("a"), flat.alias("b")
     inter = (
@@ -238,40 +245,55 @@ def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     set is independent of the banding scheme).
 
     Scheme: split the 60 bits into n_chunks equal chunks. <= h differing
-    bits touch <= h chunks, leaving >= n_chunks - h untouched. When
-    n_chunks - h >= 2, some PAIR of chunks is equal, so the join key is a
-    pair of chunk values — C(n_chunks, 2) combos over a (2*chunk_bits)-bit
-    key space. At the default (6 chunks of 10 bits, h=3) the bucket space
-    per combo is 2^20 vs the naive single-chunk scheme's 2^15: random
-    collisions per combo shrink by 2^5 while combos only grow 4 -> 15, so
-    total candidate volume drops ~8x and keeps dropping as chunks narrow —
-    the knob that keeps bucket joins bounded at 100x the corpus. With
-    n_chunks - h == 1 the single-chunk join (at least one chunk equal) is
-    used instead."""
+    bits touch <= h chunks, leaving r = n_chunks - h untouched — so some
+    r-SUBSET of chunks is entirely equal, and the join key is an r-tuple
+    of chunk values: C(n_chunks, r) combos over an (r*chunk_bits)-bit key
+    space. At the default (6 chunks of 10 bits, h=3, r=3) each combo keys
+    on 30 bits vs the pair scheme's 20 and the single-chunk scheme's 15:
+    on correlated sign bits (small vocabularies make chunk values highly
+    non-uniform) widening the key is the lever that collapses candidate
+    volume — measured 18.2M -> ~40k candidate pairs on the 50k-doc bench
+    corpus — while combos only grow 15 -> 20. Still exact: the hamming
+    rerank filters candidates, so the emitted pair set is independent of
+    the banding scheme (pigeonhole guarantees no false negatives).
+
+    The hamming filter runs BEFORE the distinct (guide §2.3: shuffle fewer
+    bytes): a candidate pair can surface in up to C(n_chunks, r) bands, and
+    filtering first shrinks the dedup exchange to the surviving pairs."""
     if 60 % n_chunks:
         raise ValueError("n_chunks must divide 60")
-    if n_chunks - max_hamming < 1:
+    r = n_chunks - max_hamming
+    if r < 1:
         raise ValueError("need n_chunks > max_hamming for pigeonhole banding")
     bits = 60 // n_chunks
     mask = (1 << bits) - 1
-    sh = simhash(docs, id_col, text_col)
+    # Materialize the (doc_id, simhash) table once: the banded self-join
+    # references it on both sides, and without a lineage cut Catalyst
+    # re-runs the whole scan+UDF subtree per side — and filter pushdown of
+    # the join keys' null checks duplicates the ArrowEvalPython node AGAIN
+    # below the exchange (guide §4.4). localCheckpoint is eager and scoped
+    # to this call's DataFrame, so every invocation still computes from
+    # the parquet input; it also gives the planner real size stats for the
+    # join strategy choice (a 50k-row signature table here; at cluster
+    # scale the stats keep the self-join a shuffle join, never a blind
+    # broadcast of an estimated-tiny UDF output).
+    sh = simhash(docs, id_col, text_col).localCheckpoint()
 
     def cval(c):
         return F.shiftright("simhash", c * bits).bitwiseAND(F.lit(mask))
 
-    if n_chunks - max_hamming >= 2:
-        combos = [(i, j) for i in range(n_chunks)
-                  for j in range(i + 1, n_chunks)]
-        bands = [
-            F.struct(F.lit(ci).alias("band"),
-                     (F.shiftleft(cval(i), bits) + cval(j)).alias("bval"))
-            for ci, (i, j) in enumerate(combos)
-        ]
-    else:
-        bands = [
-            F.struct(F.lit(c).alias("band"), cval(c).alias("bval"))
-            for c in range(n_chunks)
-        ]
+    from itertools import combinations
+
+    def key(chunks):
+        k = cval(chunks[0])
+        for c in chunks[1:]:
+            k = F.shiftleft(k, bits) + cval(c)
+        return k
+
+    bands = [
+        F.struct(F.lit(ci).alias("band"), key(chunks).alias("bval"))
+        for ci, chunks in enumerate(combinations(range(n_chunks), r))
+    ]
     banded = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*bands)).alias("bk"),
@@ -284,8 +306,8 @@ def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
                 F.col("b.doc_id").alias("doc_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
                 .alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

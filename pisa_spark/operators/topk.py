@@ -1247,6 +1247,33 @@ def topk_search_batch(index, queries: list[str], k: int = 10,
             .select("qid", "doc_id", "url", "score", "rank"))
 
 
+def _corpus_tf(docs_df, id_col: str, text_col: str):
+    """(tf, doc_len, n_docs, total_tokens) for the exhaustive DataFrame
+    scorers, with the corpus tokenized exactly ONCE.
+
+    The naive lineage (toks -> doc_len / tf / cf branches + driver stats)
+    re-runs the tokenize+explode scan once per consumer — four full passes
+    per query — because Catalyst does not share common subplans across
+    DataFrame branches. tf is therefore materialized with an eager
+    localCheckpoint (scoped to this call: every invocation recomputes from
+    the parquet input), and doc_len / df / cf / collection stats are all
+    derived from it: dl == sum(tf) per doc and cf == sum(tf) per term are
+    the same integers toks.groupBy(...).count() produces."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.operators.textstats import english_tokens_col
+
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
+    tf = (toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .localCheckpoint())
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = docs_df.count()
+    total = tf.agg(F.sum("tf")).collect()[0][0] or 0
+    return tf, doc_len, n_docs, int(total)
+
+
 def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
                         id_col: str = "doc_id", text_col: str = "text",
                         k1: float = 0.9, b: float = 0.4,
@@ -1263,21 +1290,11 @@ def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from pisa_spark.operators.textstats import english_tokens_col
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    toks = docs_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf, doc_len, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    stats = docs_df.select(
-        F.count("*").alias("n")).collect()[0]
-    n_docs = int(stats["n"])
-    total = doc_len.agg(F.sum("dl")).collect()[0][0] or 0
     avg_len = float(total) / n_docs if n_docs else 1.0
 
     qrows = [(qid, term) for qid, term, _ in
@@ -1318,17 +1335,12 @@ def qld_topk_dataframe(docs_df, queries: list[str], k: int = 10,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from pisa_spark.operators.textstats import english_tokens_col
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    toks = docs_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    cf_t = toks.groupBy("term").agg(F.count("*").alias("cf"))
-    collection_len = toks.count()
+    tf, doc_len, _n_docs, collection_len = _corpus_tf(docs_df, id_col,
+                                                      text_col)
+    cf_t = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
 
     qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
     qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
@@ -1370,18 +1382,11 @@ def pl2_topk_dataframe(docs_df, queries: list[str], k: int = 10,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from pisa_spark.operators.textstats import english_tokens_col
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    toks = docs_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    cf_t = toks.groupBy("term").agg(F.count("*").alias("cf"))
-    n_docs = docs_df.count()
-    total = doc_len.agg(F.sum("dl")).collect()[0][0] or 0
+    tf, doc_len, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
+    cf_t = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     avg_len = float(total) / n_docs if n_docs else 1.0
 
     qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
@@ -1426,18 +1431,11 @@ def dph_topk_dataframe(docs_df, queries: list[str], k: int = 10,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from pisa_spark.operators.textstats import english_tokens_col
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    toks = docs_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    cf_t = toks.groupBy("term").agg(F.count("*").alias("cf"))
-    n_docs = docs_df.count()
-    total = doc_len.agg(F.sum("dl")).collect()[0][0] or 0
+    tf, doc_len, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
+    cf_t = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     avg_len = float(total) / n_docs if n_docs else 1.0
 
     qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
