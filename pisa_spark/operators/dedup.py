@@ -333,7 +333,6 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
     the target recall (tests/test_pipeline_ops pins recall on planted
     boundary pairs just above the threshold).
     """
-    from pisa_spark.operators.similarity import lsh_bucket_udf
 
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
@@ -353,14 +352,16 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
                     cosine.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-    tables = [
-        e.select("vid", F.lit(t).alias("tbl"),
-                 lsh_bucket_udf(dim, n_planes, seed + t)("v").alias("bucket"))
-        for t in range(probes)
-    ]
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
+    from pisa_spark.operators.similarity import lsh_multi_bucket_udf
+
+    multi = lsh_multi_bucket_udf(dim, n_planes,
+                                 [seed + t for t in range(probes)])
+    # one UDF pass computes every probe table's bucket (stacked matmul),
+    # and one materialization feeds both self-join sides — the unioned
+    # per-table formulation re-ran a bucket-UDF pass per table per side
+    buckets = e.select(
+        "vid", F.posexplode(multi("v")).alias("tbl", "bucket"),
+    ).localCheckpoint()
     ba, bb = buckets.alias("ba"), buckets.alias("bb")
     cand = (
         ba.join(bb, ["tbl", "bucket"])

@@ -78,6 +78,40 @@ def lsh_bucket_udf(dim: int | None = None, n_planes: int = 12, seed: int = 7):
     return F.pandas_udf(bucket, "long")
 
 
+def lsh_multi_bucket_udf(dim: int | None, n_planes: int, seeds: list[int]):
+    """pandas UDF: embedding -> array of bucket ids, one per seed (= one
+    per probe table), in seed order.
+
+    One scan + one Arrow boundary + one stacked matmul replaces `probes`
+    separate UDF passes over the corpus (guide §4: cross the Python
+    boundary once and vectorize inside). Bit-identical to applying
+    lsh_bucket_udf per seed: the per-seed plane matrices are generated
+    independently and only stacked for the matmul."""
+    cache: dict[int, np.ndarray] = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        p = cache.get(d)
+        if p is None:
+            p = cache[d] = np.concatenate(
+                [_projections(d, n_planes, s) for s in seeds])
+        return p
+
+    if dim is not None:
+        planes_for(dim)
+    weights = np.arange(n_planes, dtype=np.int64)
+
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros((0, len(seeds)), dtype=np.int64).tolist())
+        mat = np.stack(vecs.to_numpy())
+        signs = (mat @ planes_for(mat.shape[1]).T) > 0
+        per_tbl = signs.reshape(len(vecs), len(seeds), n_planes)
+        ids = (per_tbl.astype(np.int64) << weights).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return F.pandas_udf(bucket, "array<long>")
+
+
 def lsh_ann_topk(embeddings, query_ids: list[int], k: int = 10,
                  n_planes: int = 12, probes: int = 1, multiprobe: int = 1,
                  seed: int = 7,
@@ -95,14 +129,15 @@ def lsh_ann_topk(embeddings, query_ids: list[int], k: int = 10,
 
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
                           _norm(F.col(vec_col)).alias("nrm"))
-    tables = []
-    for t in range(probes):
-        udf = lsh_bucket_udf(dim, n_planes, seed + t)
-        tables.append(e.select(
-            "vid", F.lit(t).alias("tbl"), udf("v").alias("bucket")))
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
+    multi = lsh_multi_bucket_udf(dim, n_planes,
+                                 [seed + t for t in range(probes)])
+    buckets = e.select(
+        "vid", F.posexplode(multi("v")).alias("tbl", "bucket"))
+    # materialize the bucket table once: the query side, the corpus side
+    # of the candidate join, and the join-key null-check pushdown would
+    # otherwise each re-run the ArrowEvalPython bucket pass (guide §4.4
+    # duplication — observed twice per table in the physical plan)
+    buckets = buckets.localCheckpoint()
 
     qb = buckets.filter(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("qid"), "tbl", "bucket")
