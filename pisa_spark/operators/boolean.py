@@ -21,12 +21,40 @@ from pisa_spark.operators.topk import make_query_terms_df, topk_search
 
 def _query_postings(index, queries):
     """Flat postings restricted to the query terms: (qid, term_id, doc_id,
-    tf, n_query_terms). Join-before-decode so only needed runs decode."""
+    tf, n_query_terms). Join-before-decode so only needed runs decode.
+
+    List queries resolve term ids DRIVER-side through the index's serve
+    lexicon (the reference loads the lexicon into memory before query
+    eval, tools/queries.cpp:279-340): the distributed plan then needs no
+    lexicon join, no per-qid window, and no distinct exchange — the
+    postings restriction is an isin() filter pushed into the cached scan
+    and the tiny query table is broadcast. Falls back to the fully
+    distributed join plan for DataFrame query sets or indexes whose
+    lexicon exceeds the driver bound."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from pisa_spark.functions.tokenize import analyze_query_terms
+    from pisa_spark.operators.topk import _serve_state
+
     spark = index.lexicon.sparkSession
     if isinstance(queries, list):
+        st = _serve_state(index, prefetch=False)
+        if st is not None:
+            per_q: dict[str, list[int]] = {}
+            for qid, term, _w in analyze_query_terms(queries, index.cfg):
+                meta = st.tmeta.get(term)
+                if meta is not None:
+                    per_q.setdefault(qid, []).append(meta[0])
+            rows = [(qid, tid, len(tids))
+                    for qid, tids in per_q.items() for tid in tids]
+            q = spark.createDataFrame(
+                rows, "qid string, term_id long, n_query_terms int")
+            tids = sorted({tid for _, tid, _ in rows})
+            flat = decode_postings(
+                index.postings.filter(F.col("term_id").isin(tids)),
+                index.cfg)
+            return F.broadcast(q).join(flat, "term_id")
         qterms = make_query_terms_df(spark, queries, index.cfg)
     else:
         qterms = queries

@@ -1269,9 +1269,11 @@ def _corpus_tf(docs_df, id_col: str, text_col: str):
     tf = (toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
           .localCheckpoint())
     doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs = docs_df.count()
-    total = tf.agg(F.sum("tf")).collect()[0][0] or 0
-    return tf, doc_len, n_docs, int(total)
+    # one driver job for both collection stats (doc count includes
+    # zero-token docs, so it comes from docs_df, not tf)
+    row = (docs_df.agg(F.count("*").alias("n"))
+           .crossJoin(tf.agg(F.sum("tf").alias("t"))).collect()[0])
+    return tf, doc_len, int(row["n"]), int(row["t"] or 0)
 
 
 def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
