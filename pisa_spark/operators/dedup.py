@@ -136,6 +136,12 @@ def minhash_lsh_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bhash")
+    # sort-merge, not broadcast: the planner underestimates the exploded
+    # band table (Generate over a checkpoint) and would build a serial
+    # driver-side broadcast of the whole banded side; a shuffle join runs
+    # parallel here and is the only correct strategy at corpus scale
+    # (guide §3.1 — measured 1s faster at 50k docs)
+    banded = banded.hint("merge")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bhash"])
@@ -298,6 +304,9 @@ def simhash_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
         "doc_id", "simhash",
         F.explode(F.array(*bands)).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.bval")
+    # sort-merge, not broadcast — see minhash_lsh_pairs (same
+    # Generate-over-checkpoint underestimation)
+    banded = banded.hint("merge")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bval"])
