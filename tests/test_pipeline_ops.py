@@ -402,3 +402,47 @@ def test_ivf_ann_unknown_ids_and_empty_table(spark, embeddings):
     empty = spark.createDataFrame(
         [], "vec_id long, embedding array<float>")
     assert similarity.ivf_ann_topk(empty, [0], k=5).count() == 0
+
+
+def test_multi_bucket_udf_matches_per_seed(embeddings):
+    """The fused multi-table bucket UDF must emit exactly the per-seed
+    lsh_bucket_udf ids (r6 optimization: one Arrow pass + stacked matmul
+    instead of one UDF pass per probe table)."""
+    from pyspark.sql import functions as F
+
+    e = embeddings.select(F.col("vec_id").alias("vid"),
+                          F.col("embedding").alias("v"))
+    seeds = [7, 8, 9]
+    multi = similarity.lsh_multi_bucket_udf(None, 5, seeds)
+    got = (e.select("vid", F.posexplode(multi("v")).alias("tbl", "bucket"))
+           .toPandas().set_index(["vid", "tbl"]).bucket.to_dict())
+    for t, s in enumerate(seeds):
+        one = similarity.lsh_bucket_udf(None, 5, s)
+        ref = (e.select("vid", one("v").alias("bucket"))
+               .toPandas().set_index("vid").bucket.to_dict())
+        for vid, b in ref.items():
+            assert got[(vid, t)] == b
+
+
+def test_boolean_driver_path_matches_distributed(spark, documents):
+    """r6: list queries resolve term ids driver-side through the serve
+    lexicon; the result must equal the distributed lexicon-join plan
+    (exercised via the DataFrame-queries fallback)."""
+    from pisa_spark.config import IndexConfig
+    from pisa_spark.operators.boolean import and_count, or_count
+    from pisa_spark.operators.topk import make_query_terms_df
+    from pisa_spark.plans.build import build_index
+
+    from pyspark.sql import functions as F
+
+    docs = documents.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text")
+    idx = build_index(docs, IndexConfig(shard_span=64))
+    queries = ["q1:join hash", "q2:data data table", "q3:zzznope scan"]
+    qdf = make_query_terms_df(spark, queries, idx.cfg)
+    fast = {(r.qid, r.n_docs) for r in and_count(idx, queries).collect()}
+    slow = {(r.qid, r.n_docs) for r in and_count(idx, qdf).collect()}
+    assert fast == slow
+    fast_or = {(r.qid, r.n_docs) for r in or_count(idx, queries).collect()}
+    slow_or = {(r.qid, r.n_docs) for r in or_count(idx, qdf).collect()}
+    assert fast_or == slow_or
