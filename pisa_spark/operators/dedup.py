@@ -408,6 +408,46 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id",
 
 # ------------------------------------------------- duplicate clusters (CC)
 
+# driver union-find bound: edge lists at or under this collect to the
+# driver (two int64 columns — 64 MB at the bound) and resolve in one
+# pass; larger graphs run the distributed label-propagation loop
+CLUSTERS_DRIVER_MAX_EDGES = 1 << 22
+
+
+def _driver_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Connected components of a small edge list on the driver:
+    path-halving union-find, roots then relabeled to the component's
+    minimum member — identical output contract to the distributed loop
+    ((doc_id, cluster_id), cluster_id = min id in component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf.iloc[:, 0].astype("int64"),
+                    pdf.iloc[:, 1].astype("int64")):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[ra] = rb
+    cmin: dict[int, int] = {}
+    nodes = list(parent)
+    for x in nodes:
+        r = find(x)
+        if x < cmin.get(r, x + 1):
+            cmin[r] = x
+    return pd.DataFrame({
+        "doc_id": np.array(nodes, dtype=np.int64),
+        "cluster_id": np.array([cmin[find(x)] for x in nodes],
+                               dtype=np.int64),
+    })
+
+
 def dedup_clusters(pairs, left: str = "doc_a", right: str = "doc_b",
                    max_iters: int = 50, checkpoint_dir: str | None = None):
     """Resolve candidate duplicate PAIRS into duplicate CLUSTERS.
@@ -444,6 +484,26 @@ def dedup_clusters(pairs, left: str = "doc_a", right: str = "doc_b",
     The same closure is ANSI-SQL-expressible as a recursive CTE, which is
     the DuckDB oracle twin (driver entry `dedup_clusters`).
     """
+    if checkpoint_dir is None:
+        # bounded driver union-find: dedup graphs are tiny relative to
+        # their corpora (edges ~ near-dup pairs), and the distributed
+        # loop pays several whole-cluster jobs of fixed cost per
+        # iteration. At or under the bound (integer ids only), collect
+        # the edge list once and resolve in one driver pass — identical
+        # (doc_id, cluster_id = min member) output, same
+        # bounded-driver-work-with-distributed-fallback pattern as the
+        # serve path. Above the bound or for non-integer ids the
+        # label-propagation loop below remains the scale path.
+        int_types = {"bigint", "int", "smallint", "tinyint"}
+        dtypes = dict(pairs.select(left, right).dtypes)
+        if dtypes[left] in int_types and dtypes[right] in int_types:
+            edges_pdf = (pairs.select(left, right)
+                         .limit(CLUSTERS_DRIVER_MAX_EDGES + 1).toPandas())
+            if len(edges_pdf) <= CLUSTERS_DRIVER_MAX_EDGES:
+                out = _driver_union_find(edges_pdf)
+                return pairs.sparkSession.createDataFrame(
+                    out, "doc_id long, cluster_id long")
+
     e = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"),
                            F.col("src").alias("dst"))).distinct()

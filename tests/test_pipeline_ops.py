@@ -446,3 +446,19 @@ def test_boolean_driver_path_matches_distributed(spark, documents):
     fast_or = {(r.qid, r.n_docs) for r in or_count(idx, queries).collect()}
     slow_or = {(r.qid, r.n_docs) for r in or_count(idx, qdf).collect()}
     assert fast_or == slow_or
+
+
+def test_dedup_clusters_driver_path_matches_distributed(spark, monkeypatch):
+    """r6: bounded driver union-find must emit exactly the distributed
+    min-label propagation's (doc_id, cluster_id) rows."""
+    rows = [(1, 5), (5, 9), (20, 21), (40, 41), (41, 40), (9, 1), (60, 61),
+            (61, 62), (62, 63), (63, 2)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    fast = {(r.doc_id, r.cluster_id)
+            for r in dedup.dedup_clusters(pairs).collect()}
+    monkeypatch.setattr(dedup, "CLUSTERS_DRIVER_MAX_EDGES", 0)
+    slow = {(r.doc_id, r.cluster_id)
+            for r in dedup.dedup_clusters(pairs).collect()}
+    assert fast == slow
+    assert fast == {(1, 1), (5, 1), (9, 1), (20, 20), (21, 20), (40, 40),
+                    (41, 40), (60, 2), (61, 2), (62, 2), (63, 2), (2, 2)}
