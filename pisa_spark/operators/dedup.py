@@ -76,42 +76,54 @@ def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text",
                        n_hashes: int = N_MINHASH, shingle_n: int = 3):
     """(doc_id, sig array<long>): min over shingles of the i-th universal
     hash of md5(shingle) — one digest per shingle, n_hashes arithmetic
-    mixes (see MINHASH_PRIME/_minhash_mix).
+    mixes (see MINHASH_PRIME/_minhash_mix). Docs with no shingles
+    (shorter than shingle_n) emit no row.
 
-    Computed as explode -> n_hashes scalar hash columns -> groupBy-min:
-    a partial-aggregated shuffle on doc_id, no per-row signature arrays
-    (and it avoids PySpark's nested higher-order-function lambda-variable
-    collision, which silently corrupts sibling transform() minima)."""
-    # Materialize tokens as a column BEFORE shingling: shingles_col
-    # references its `tokens` argument inside a transform() lambda, and an
-    # unbound expression there is re-evaluated per shingle index — the
-    # whole regexp tokenize O(T) times per doc (guide §1.2 step 2:
-    # per-task work). A bound attribute is computed once per row.
-    sh_flat = docs.select(
-        F.col(id_col).alias("doc_id"),
-        english_tokens_col(F.col(text_col)).alias("_toks"),
-    ).select(
-        "doc_id",
-        F.explode(shingles_col(F.col("_toks"), shingle_n)).alias("s"))
+    Computed in ONE fused Arrow pass (guide §4.2, same shape as the index
+    build's tokenize): per doc — tokenize, distinct-shingle set, one md5
+    per shingle, then the (n_hashes x n_shingles) universal-hash matrix
+    and its row minima in numpy. No token explode, no groupBy shuffle,
+    and every intermediate stays < 2^62 so int64 arithmetic is exact —
+    bit-identical to the previous explode -> hash columns -> groupBy-min
+    formulation (verified at sf1.0) and to the DuckDB oracle mirror."""
+    import hashlib
+
+    from pisa_spark.functions.tokenize import english_tokens
+
     mix = _minhash_mix(n_hashes)
-    base = _hash60(F.col("s"))
-    hashed = sh_flat.select(
-        "doc_id", base.alias("_h")
-    ).select(
-        "doc_id",
-        F.shiftright("_h", 30).alias("_hi"),
-        F.col("_h").bitwiseAND(F.lit((1 << 30) - 1)).alias("_lo"),
-    ).select(
-        "doc_id",
-        *[F.pmod(F.lit(a) * F.col("_hi") + F.lit(b) * F.col("_lo") + F.lit(c),
-                 F.lit(MINHASH_PRIME)).alias(f"h{i}")
-          for i, (a, b, c) in enumerate(mix)])
-    return (
-        hashed.groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(n_hashes)])
-        .select("doc_id",
-                F.array(*[F.col(f"s{i}") for i in range(n_hashes)]).alias("sig"))
-    )
+    a_v = np.array([m[0] for m in mix], dtype=np.int64)[:, None]
+    b_v = np.array([m[1] for m in mix], dtype=np.int64)[:, None]
+    c_v = np.array([m[2] for m in mix], dtype=np.int64)[:, None]
+    lo_mask = (1 << 30) - 1
+    id_type = dict(docs.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t.lower() for t in english_tokens(text or "")]
+                if len(toks) < shingle_n:
+                    continue
+                if shingle_n == 1:
+                    sh = set(toks)
+                else:
+                    sh = {" ".join(toks[i:i + shingle_n])
+                          for i in range(len(toks) - shingle_n + 1)}
+                if not sh:
+                    continue
+                h = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                     for s in sh), dtype=np.int64, count=len(sh))
+                sig = ((a_v * (h >> 30)[None, :]
+                        + b_v * (h & lo_mask)[None, :] + c_v)
+                       % MINHASH_PRIME).min(axis=1)
+                ids.append(did)
+                sigs.append([int(x) for x in sig])
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"doc_id {id_type}, sig array<long>")
 
 
 def minhash_lsh_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
