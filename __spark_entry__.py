@@ -123,7 +123,10 @@ def _qterms_weighted_values_sql() -> str:
 _INDEX_CACHE: dict[str, object] = {}
 
 
-def _spread(df: DataFrame) -> DataFrame:
+_PARQUET_RG_CACHE: dict[str, int] = {}  # path -> row-group count (metadata)
+
+
+def _spread(df: DataFrame, path: str) -> DataFrame:
     """Distribute a small-file scan across the cluster (guide §2.5: input
     skew). The testdata parquet files are single-row-group, so the scan
     plans ONE real task no matter what minPartitionNum asks for, and every
@@ -132,20 +135,35 @@ def _spread(df: DataFrame) -> DataFrame:
     MB of shuffle and restores full-cluster execution; it is deterministic
     (local sort before round-robin) and row-preserving, so every entry's
     result is unchanged. Scale-adaptive: sized from defaultParallelism,
-    and skipped when the scan already has enough partitions (a real
-    multi-file table at 100 TB hits this branch and stays shuffle-free)."""
+    and skipped when the file's row-group count already allows enough
+    scan parallelism (a real multi-file table at 100 TB hits this branch
+    and stays shuffle-free). The parallelism check reads the parquet
+    FOOTER (0.1 ms, memoized — file metadata, not data) instead of
+    df.rdd.getNumPartitions(), whose RDD conversion costs ~120 ms per
+    call; unreadable/multi-file paths fall back to the RDD check."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    rgs = _PARQUET_RG_CACHE.get(path)
+    if rgs is None:
+        try:
+            import pyarrow.parquet as pq
+
+            rgs = pq.read_metadata(path).num_row_groups
+        except Exception:
+            rgs = df.rdd.getNumPartitions()
+        _PARQUET_RG_CACHE[path] = rgs
+    if rgs >= n:
         return df
     return df.repartition(n)
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    path = f"{sf_dir}/documents.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    path = f"{sf_dir}/embeddings.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 def _get_index(spark: SparkSession, sf_dir: str):
