@@ -1280,24 +1280,30 @@ def _corpus_tf(docs_df, id_col: str, text_col: str):
             ids: list = []
             terms: list = []
             tfs: list = []
+            dls: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 c = Counter(t.lower() for t in english_tokens(text or ""))
                 ids.extend([did] * len(c))
                 terms.extend(c.keys())
                 tfs.extend(c.values())
+                dls.extend([sum(c.values())] * len(c))
             if ids:
                 yield pd.DataFrame(
-                    {"doc_id": ids, "term": terms, "tf": tfs})
+                    {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls})
 
+    # dl (the doc's token count) is denormalized onto every tf row by the
+    # same pass — the scorers then need NO doc_len aggregate+join at all
+    # (one less broadcast build + join per query); 8 bytes/row in a
+    # checkpoint that exists anyway.
     tf = (docs_df.select(id_col, text_col)
-          .mapInPandas(run, f"doc_id {id_type}, term string, tf long")
+          .mapInPandas(run,
+                       f"doc_id {id_type}, term string, tf long, dl long")
           .localCheckpoint())
-    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # one driver job for both collection stats (doc count includes
     # zero-token docs, so it comes from docs_df, not tf)
     row = (docs_df.agg(F.count("*").alias("n"))
            .crossJoin(tf.agg(F.sum("tf").alias("t"))).collect()[0])
-    return tf, doc_len, int(row["n"]), int(row["t"] or 0)
+    return tf, int(row["n"]), int(row["t"] or 0)
 
 
 def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
@@ -1319,13 +1325,13 @@ def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    tf, doc_len, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
+    tf, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     avg_len = float(total) / n_docs if n_docs else 1.0
 
-    qrows = [(qid, term) for qid, term, _ in
-             analyze_query_terms(queries, cfg)]
-    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+    qrows = sorted({(qid, term) for qid, term, _ in
+                   analyze_query_terms(queries, cfg)})
+    qdf = spark.createDataFrame(qrows, "qid string, term string")
 
     idf = (
         F.greatest(F.lit(1e-6),
@@ -1337,7 +1343,7 @@ def bm25_topk_dataframe(docs_df, queries: list[str], k: int = 10,
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
                                    + F.lit(b) * F.col("dl") / F.lit(avg_len)))
     scored = (
-        qdf.join(tf, "term").join(doc_len, "doc_id").join(df_t, "term")
+        qdf.join(tf, "term").join(df_t, "term")
         .select("qid", "doc_id", (idf * part).alias("partial"))
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))
@@ -1364,12 +1370,12 @@ def qld_topk_dataframe(docs_df, queries: list[str], k: int = 10,
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    tf, doc_len, _n_docs, collection_len = _corpus_tf(docs_df, id_col,
-                                                      text_col)
+    tf, _n_docs, collection_len = _corpus_tf(docs_df, id_col, text_col)
     cf_t = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
 
-    qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
-    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+    qrows = sorted({(qid, term) for qid, term, _ in
+                   analyze_query_terms(queries, cfg)})
+    qdf = spark.createDataFrame(qrows, "qid string, term string")
 
     part = (
         F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
@@ -1377,7 +1383,7 @@ def qld_topk_dataframe(docs_df, queries: list[str], k: int = 10,
                                  / (F.lit(mu) * F.col("cf"))))
     )
     scored = (
-        qdf.join(tf, "term").join(doc_len, "doc_id").join(cf_t, "term")
+        qdf.join(tf, "term").join(cf_t, "term")
         .select("qid", "doc_id",
                 F.greatest(F.lit(0.0), part).alias("partial"))
         .groupBy("qid", "doc_id")
@@ -1411,12 +1417,13 @@ def pl2_topk_dataframe(docs_df, queries: list[str], k: int = 10,
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    tf, doc_len, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
+    tf, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
     cf_t = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     avg_len = float(total) / n_docs if n_docs else 1.0
 
-    qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
-    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+    qrows = sorted({(qid, term) for qid, term, _ in
+                   analyze_query_terms(queries, cfg)})
+    qdf = spark.createDataFrame(qrows, "qid string, term string")
 
     tfn = F.col("tf") * F.log2(F.lit(1.0)
                                + F.lit(c * avg_len) / F.col("dl"))
@@ -1430,7 +1437,7 @@ def pl2_topk_dataframe(docs_df, queries: list[str], k: int = 10,
         + tfn * (F.log2(tfn) - e)
     )
     scored = (
-        qdf.join(tf, "term").join(doc_len, "doc_id").join(cf_t, "term")
+        qdf.join(tf, "term").join(cf_t, "term")
         .select("qid", "doc_id", part.alias("partial"))
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))
@@ -1460,12 +1467,13 @@ def dph_topk_dataframe(docs_df, queries: list[str], k: int = 10,
 
     cfg = cfg or IndexConfig()
     spark = docs_df.sparkSession
-    tf, doc_len, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
+    tf, n_docs, total = _corpus_tf(docs_df, id_col, text_col)
     cf_t = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     avg_len = float(total) / n_docs if n_docs else 1.0
 
-    qrows = [(qid, term) for qid, term, _ in analyze_query_terms(queries, cfg)]
-    qdf = spark.createDataFrame(qrows, "qid string, term string").distinct()
+    qrows = sorted({(qid, term) for qid, term, _ in
+                   analyze_query_terms(queries, cfg)})
+    qdf = spark.createDataFrame(qrows, "qid string, term string")
 
     f = F.col("tf") / F.col("dl")
     norm = (F.lit(1.0) - f) * (F.lit(1.0) - f) / (F.col("tf") + F.lit(1.0))
@@ -1477,7 +1485,7 @@ def dph_topk_dataframe(docs_df, queries: list[str], k: int = 10,
                               * (F.lit(1.0) - f))
     )
     scored = (
-        qdf.join(tf, "term").join(doc_len, "doc_id").join(cf_t, "term")
+        qdf.join(tf, "term").join(cf_t, "term")
         .select("qid", "doc_id", part.alias("partial"))
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))
